@@ -1,0 +1,181 @@
+"""Codec kernel framework: section packing, dtype bookkeeping, registry.
+
+Every codec is a pair ``encode(column) -> (payload: bytes, meta: dict)`` /
+``decode(payload, meta) -> column`` with the invariant
+``decode(*encode(x)) == x`` **bit-identical** — the engine's analog of the
+reference's round-trip fixture semantics (reference
+`test/orc/fixture.clj:38-58` writes known columns, `test/orc/read_test.clj:33-39`
+asserts exact per-row equality on read-back).
+
+The codec registry dict is the direct analog of the reference's type-keyed
+deserializer dispatch table (`src/orc/col.clj:155-174`), except our kernels are
+whole-column numpy ops rather than per-cell interpreted fn dispatch
+(`src/orc/core.clj:28-32`).
+
+Column representations at the kernel boundary:
+
+* integer columns: ``np.ndarray`` of any int dtype (or bool);
+* string/binary columns: ``StringCol(data: bytes, offsets: np.int64[n+1])`` —
+  exactly the offsets+values layout of ORC's ``ListColumnVector`` /
+  ``BytesColumnVector`` that the reference slices per row
+  (`src/orc/col.clj:110-121`) and of Arrow's variable-width arrays.
+
+``meta`` must be JSON-serializable (it is persisted in the manifest sidecar).
+Binary sub-streams never go in ``meta``; they are concatenated into the payload
+as *sections* whose byte lengths are recorded in ``meta["sections"]``.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+INT_DTYPES = {
+    "int8": np.int8,
+    "int16": np.int16,
+    "int32": np.int32,
+    "int64": np.int64,
+    "uint8": np.uint8,
+    "uint16": np.uint16,
+    "uint32": np.uint32,
+    "uint64": np.uint64,
+    "bool": np.bool_,
+}
+
+
+@dataclass(frozen=True)
+class StringCol:
+    """Variable-width column: concatenated UTF-8/binary + int64 offsets.
+
+    ``offsets`` has ``n + 1`` entries; row ``i`` is
+    ``data[offsets[i]:offsets[i+1]]`` — the reference's own physical layout for
+    byte/list vectors (`src/orc/col.clj:100-102,114-116`).
+    """
+
+    data: bytes
+    offsets: np.ndarray  # int64, len n+1
+
+    @property
+    def n(self) -> int:
+        return len(self.offsets) - 1
+
+    def row(self, i: int) -> bytes:
+        return self.data[self.offsets[i] : self.offsets[i + 1]]
+
+    def to_list(self) -> list[bytes]:
+        o = self.offsets
+        d = self.data
+        return [bytes(d[o[i] : o[i + 1]]) for i in range(self.n)]
+
+    @staticmethod
+    def from_list(items: list[bytes]) -> "StringCol":
+        offsets = np.zeros(len(items) + 1, dtype=np.int64)
+        if items:
+            np.cumsum([len(b) for b in items], out=offsets[1:])
+        return StringCol(b"".join(items), offsets)
+
+    @staticmethod
+    def from_arrow(arr) -> "StringCol":
+        """Zero-ish-copy conversion from a pyarrow String/Binary array."""
+        import pyarrow as pa
+
+        if arr.null_count:
+            raise ValueError("null strings unsupported (input_hint: non-null)")
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+            off_dtype = np.int64
+        else:
+            off_dtype = np.int32
+        buffers = arr.buffers()
+        offsets = np.frombuffer(
+            buffers[1], dtype=off_dtype, count=len(arr) + 1, offset=arr.offset * np.dtype(off_dtype).itemsize
+        ).astype(np.int64)
+        data_buf = buffers[2] if buffers[2] is not None else b""
+        lo, hi = int(offsets[0]), int(offsets[-1])
+        data = bytes(memoryview(data_buf)[lo:hi]) if len(data_buf) else b""
+        return StringCol(data, offsets - lo)
+
+    def to_arrow(self):
+        import pyarrow as pa
+
+        if self.offsets[-1] <= np.iinfo(np.int32).max:
+            return pa.Array.from_buffers(
+                pa.string(),
+                self.n,
+                [None, pa.py_buffer(self.offsets.astype(np.int32).tobytes()), pa.py_buffer(self.data)],
+            )
+        return pa.Array.from_buffers(
+            pa.large_string(),
+            self.n,
+            [None, pa.py_buffer(self.offsets.tobytes()), pa.py_buffer(self.data)],
+        )
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, StringCol)
+            and self.data == other.data
+            and np.array_equal(self.offsets, other.offsets)
+        )
+
+
+def pack_sections(*sections: bytes) -> tuple[bytes, list[int]]:
+    """Concatenate binary sub-streams; return (payload, section lengths)."""
+    return b"".join(sections), [len(s) for s in sections]
+
+
+def split_sections(payload: bytes, lengths: list[int]) -> list[bytes]:
+    out, pos = [], 0
+    for ln in lengths:
+        out.append(payload[pos : pos + ln])
+        pos += ln
+    return out
+
+
+def bit_width(max_residual: int) -> int:
+    """Bits needed to represent values in [0, max_residual]."""
+    return int(max_residual).bit_length()
+
+
+def crc32(payload: bytes) -> int:
+    return zlib.crc32(payload) & 0xFFFFFFFF
+
+
+def as_unsigned_residuals(arr: np.ndarray, ref: int) -> np.ndarray:
+    """``(arr - ref) mod 2**64`` as uint64 — exact for any int64 range.
+
+    Wraparound subtraction keeps frame-of-reference exact even when
+    ``max - min`` overflows int64 (full-range int64 columns).
+    """
+    a = arr.astype(np.int64, copy=False).view(np.uint64)
+    r = np.int64(ref).view(np.uint64) if ref >= np.iinfo(np.int64).min else np.uint64(ref)
+    return a - r  # uint64 wraps mod 2**64
+
+
+def from_unsigned_residuals(res: np.ndarray, ref: int, dtype: str) -> np.ndarray:
+    """Inverse of :func:`as_unsigned_residuals`, restoring the exact dtype."""
+    base = res + np.int64(ref).view(np.uint64)
+    out = base.view(np.int64)
+    np_dtype = INT_DTYPES[dtype]
+    if dtype == "bool":
+        return out.astype(np.bool_)
+    return out.astype(np_dtype)
+
+
+# --- registry -----------------------------------------------------------
+
+INT_CODECS: dict[str, type] = {}
+STR_CODECS: dict[str, type] = {}
+
+
+def register(kind: str):
+    def deco(cls):
+        (INT_CODECS if kind == "int" else STR_CODECS)[cls.name] = cls
+        return cls
+
+    return deco
+
+
+def get_codec(name: str):
+    return INT_CODECS.get(name) or STR_CODECS[name]

@@ -1,0 +1,188 @@
+"""Bit-packing primitives + frame-of-reference and patched-base codecs.
+
+Re-imagines ORC RLEv2 "direct" (fixed-width bit-packing) and "patched base"
+sub-encodings — which the reference exercises through orc-core on every
+`.addRowBatch` / `.nextBatch` (reference `test/orc/fixture.clj:51`,
+`src/orc/read.clj:99`) — as vectorized numpy kernels (ORC v1 spec is public
+knowledge; no reference code is involved, the reference contains no encoder).
+
+* ``pack_bits`` / ``unpack_bits``: little-endian bit matrix + ``np.packbits``;
+  fast paths for widths 8/16/32/64.
+* ``ForBitpack``: subtract per-chunk min (frame of reference), pack residuals
+  at ``ceil(log2(max_residual+1))`` bits.
+* ``PatchedFor``: choose a narrower base width ``w`` minimizing exact encoded
+  cost; values whose residual needs more than ``w`` bits become *exceptions*
+  (positions + high bits stored separately) — ideal for skewed distributions
+  such as zipfian token ids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import (
+    as_unsigned_residuals,
+    bit_width,
+    from_unsigned_residuals,
+    pack_sections,
+    register,
+    split_sections,
+)
+
+_FAST_WIDTH_DTYPE = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}
+
+
+def pack_bits(values: np.ndarray, width: int) -> bytes:
+    """Pack uint64 ``values`` (< 2**width) at ``width`` bits, little-endian."""
+    values = values.astype(np.uint64, copy=False)
+    if width == 0 or len(values) == 0:
+        return b""
+    if width in _FAST_WIDTH_DTYPE:
+        return values.astype(_FAST_WIDTH_DTYPE[width]).tobytes()
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((values[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def unpack_bits(buf: bytes, width: int, n: int) -> np.ndarray:
+    """Inverse of :func:`pack_bits`; returns uint64 array of length ``n``."""
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    if width in _FAST_WIDTH_DTYPE:
+        return np.frombuffer(buf, dtype=_FAST_WIDTH_DTYPE[width], count=n).astype(np.uint64)
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8), count=n * width, bitorder="little")
+    shifts = np.arange(width, dtype=np.uint64)
+    return (bits.reshape(n, width).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+
+
+def packed_nbytes(n: int, width: int) -> int:
+    if width in _FAST_WIDTH_DTYPE:
+        return n * (width // 8)
+    return (n * width + 7) // 8
+
+
+@register("int")
+class ForBitpack:
+    """Frame-of-reference + fixed-width bit-pack (ORC RLEv2-direct analog)."""
+
+    name = "for_bitpack"
+
+    @classmethod
+    def encode(cls, arr: np.ndarray) -> tuple[bytes, dict]:
+        dtype = str(arr.dtype)
+        n = len(arr)
+        if n == 0:
+            return b"", {"codec": cls.name, "n": 0, "dtype": dtype, "ref": 0, "width": 0}
+        ref = int(arr.min())
+        res = as_unsigned_residuals(arr, ref)
+        width = bit_width(int(res.max()))
+        return pack_bits(res, width), {
+            "codec": cls.name,
+            "n": n,
+            "dtype": dtype,
+            "ref": ref,
+            "width": width,
+        }
+
+    @classmethod
+    def decode(cls, payload: bytes, meta: dict) -> np.ndarray:
+        n = meta["n"]
+        if n == 0:
+            return np.empty(0, dtype=meta["dtype"])
+        res = unpack_bits(payload, meta["width"], n)
+        return from_unsigned_residuals(res, meta["ref"], meta["dtype"])
+
+    @staticmethod
+    def estimate(stats: dict) -> int:
+        return packed_nbytes(stats["n"], stats["for_width"])
+
+
+@register("int")
+class PatchedFor:
+    """FOR bit-pack with exceptions (ORC RLEv2 patched-base analog).
+
+    Base stream holds the low ``w`` bits of every residual; exceptions (rows
+    whose residual needs > ``w`` bits) store their positions (delta+bitpacked)
+    and high bits in side sections.  ``w`` is chosen by exact cost minimization
+    over the residual bit-length histogram — the explicit, observable version
+    of the ORC writer's internal heuristic (SURVEY.md §4.2).
+    """
+
+    name = "patched_for"
+
+    @staticmethod
+    def _best_width(res: np.ndarray, n: int) -> tuple[int, int, np.ndarray]:
+        """Return (w, cost_bytes, bitlen_counts) minimizing exact cost."""
+        full = bit_width(int(res.max())) if n else 0
+        # numpy-native bit length: floor(log2(res)) + 1 for nonzero
+        nz = res != 0
+        lens = np.zeros(n, dtype=np.int64)
+        if nz.any():
+            res_nz = res[nz]
+            lens_nz = np.floor(np.log2(res_nz.astype(np.float64))).astype(np.int64) + 1
+            # float log2 is inexact near 2**53+; correct with exact check
+            hi = lens_nz > 52
+            if hi.any():
+                lens_nz[hi] = np.array(
+                    [int(v).bit_length() for v in res_nz[hi]], dtype=np.int64
+                )
+            lens[nz] = lens_nz
+        counts = np.bincount(lens, minlength=full + 1)
+        n_exc_ge = np.concatenate([np.cumsum(counts[::-1])[::-1][1:], [0]])  # exceptions if w = idx
+        pos_w = bit_width(max(n - 1, 0))
+        best_w, best_cost = full, packed_nbytes(n, full)
+        for w in range(full):
+            n_exc = int(n_exc_ge[w])
+            cost = (
+                packed_nbytes(n, w)
+                + packed_nbytes(n_exc, pos_w)
+                + packed_nbytes(n_exc, full - w)
+                + 16
+            )
+            if cost < best_cost:
+                best_w, best_cost = w, cost
+        return best_w, best_cost, counts
+
+    @classmethod
+    def encode(cls, arr: np.ndarray) -> tuple[bytes, dict]:
+        dtype = str(arr.dtype)
+        n = len(arr)
+        if n == 0:
+            return b"", {"codec": cls.name, "n": 0, "dtype": dtype, "ref": 0,
+                         "width": 0, "full_width": 0, "n_exc": 0, "sections": []}
+        ref = int(arr.min())
+        res = as_unsigned_residuals(arr, ref)
+        full = bit_width(int(res.max()))
+        w, _, _ = cls._best_width(res, n)
+        mask = np.uint64((1 << w) - 1) if w else np.uint64(0)
+        base = res & mask
+        exc_idx = np.flatnonzero(res > mask)
+        pos_w = bit_width(max(n - 1, 0))
+        payload, sections = pack_sections(
+            pack_bits(base, w),
+            pack_bits(exc_idx.astype(np.uint64), pos_w),
+            pack_bits(res[exc_idx] >> np.uint64(w), full - w),
+        )
+        return payload, {
+            "codec": cls.name, "n": n, "dtype": dtype, "ref": ref,
+            "width": w, "full_width": full, "pos_width": pos_w,
+            "n_exc": int(len(exc_idx)), "sections": sections,
+        }
+
+    @classmethod
+    def decode(cls, payload: bytes, meta: dict) -> np.ndarray:
+        n = meta["n"]
+        if n == 0:
+            return np.empty(0, dtype=meta["dtype"])
+        base_b, pos_b, hi_b = split_sections(payload, meta["sections"])
+        res = unpack_bits(base_b, meta["width"], n)
+        n_exc = meta["n_exc"]
+        if n_exc:
+            idx = unpack_bits(pos_b, meta["pos_width"], n_exc).astype(np.int64)
+            hi = unpack_bits(hi_b, meta["full_width"] - meta["width"], n_exc)
+            res[idx] |= hi << np.uint64(meta["width"])
+        return from_unsigned_residuals(res, meta["ref"], meta["dtype"])
+
+    @staticmethod
+    def estimate(stats: dict) -> int:
+        return stats["patched_cost"]
