@@ -1,0 +1,79 @@
+"""Decode pipeline: encoded chunks + manifest → the original token table.
+
+The read-side analog of the reference's entry point (`src/orc/read.clj:65-112`):
+where clj-orc pulls ORC batches and pivots them to rows per-cell
+(`src/orc/core.clj:57-66`), this engine groups each chunk's five encoded
+column rows, runs the vectorized decode kernels, and reassembles the
+``tokens`` list column from the flat values + offsets index — the exact
+offsets/lengths slicing the reference applies to ORC list vectors
+(`src/orc/col.clj:110-121`), done once per chunk instead of once per row.
+
+CRC of every payload is checked against the value recorded at encode time.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels import crc32, decode_any
+
+TOKEN_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def decode_chunk_table(tbl: pa.Table) -> pa.Table:
+    """Decode one chunk (five column rows) back to token-table rows."""
+    cols = {}
+    for i in range(tbl.num_rows):
+        name = tbl.column("col")[i].as_py()
+        payload = tbl.column("payload")[i].as_py()
+        meta = json.loads(tbl.column("meta")[i].as_py())
+        expected_crc = tbl.column("crc")[i].as_py()
+        if crc32(payload) != expected_crc:
+            raise IOError(
+                f"CRC mismatch on chunk {tbl.column('chunk_id')[0].as_py()} col {name}"
+            )
+        cols[name] = decode_any(payload, meta)
+    missing = {"doc_id", "source", "n_tok", "token_values", "offsets"} - set(cols)
+    if missing:
+        raise IOError(f"chunk incomplete, missing columns: {missing}")
+
+    flat = cols["token_values"].astype(np.int32, copy=False)
+    offsets = cols["offsets"].astype(np.int64, copy=False)
+    n = len(offsets) - 1
+    tokens = pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32)), pa.array(flat, type=pa.int32())
+    )
+    return pa.table(
+        {
+            "doc_id": cols["doc_id"].to_arrow(),
+            "tokens": tokens,
+            "n_tok": pa.array(cols["n_tok"].astype(np.int32), type=pa.int32()),
+            "source": cols["source"].to_arrow(),
+        }
+    )
+
+
+def decode(spark, out_dir: str, part_ids: list[int] | None = None):
+    """Distributed decode: chunk rows → token-table DataFrame.
+
+    Groups by ``chunk_id`` (all five column rows of a chunk must meet in one
+    task); ``part_ids`` pushes partition pruning into the parquet scan.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    chunks_dir = os.path.join(out_dir, "chunks")
+    if not os.path.isdir(chunks_dir):  # empty run wrote no chunks
+        return spark.createDataFrame([], TOKEN_DDL)
+    chunks = spark.read.parquet(chunks_dir)
+    if part_ids is not None:
+        chunks = chunks.where(F.col("part_id").isin(list(part_ids)))
+
+    def decode_group(tbl: pa.Table) -> pa.Table:
+        return decode_chunk_table(tbl)
+
+    return chunks.groupBy("chunk_id").applyInArrow(decode_group, TOKEN_DDL)

@@ -1,0 +1,293 @@
+"""Encode pipeline: token table → encoded chunk rows + codec manifest sidecar.
+
+The Spark-first re-imagining of the reference's scan→decode→chunk→stream
+dataflow (`src/orc/read.clj:65-112`, `src/orc/json.clj:48-101`), inverted into
+encode direction per the north rule:
+
+* the reference's reader thread + bounded channel (`src/orc/macro.clj:47-62`,
+  `src/orc/read.clj:75`) become Spark executor tasks — real multi-node
+  parallelism instead of one producer thread;
+* its byte-limited JSON chunk governor (`src/orc/json.clj:80-91`: accumulate
+  until ``byte-limit``, flush numbered chunk) becomes the byte-budget chunk
+  flush inside ``mapInArrow``;
+* its stream-metadata + header record (`src/orc/read.clj:89,93`) become the
+  manifest sidecar: per-chunk codec records + per-partition completion rows
+  (the checkpoint/lineage unit) + a run-metadata JSON.
+
+Everything stays columnar: Arrow record batches in, numpy kernels, Arrow out —
+no per-row Python anywhere (the reference's per-cell dispatch,
+`src/orc/core.clj:34-43`, is the anti-pattern this engine exists to fix).
+
+Layout under ``out_dir``::
+
+    chunks/part_id=N/*.parquet    encoded payload rows (one row per chunk×column)
+    manifest/chunks/*.parquet     chunk records (everything but the payload)
+    manifest/parts/*.parquet      partition completion markers (resume unit)
+    run_meta.json                 run metadata (stream-metadata analog)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels import StringCol, crc32
+from ..selector import encode_column
+from .skew import plan_partitions
+
+DEFAULT_CHUNK_BYTES = 8 << 20  # raw token bytes per chunk (byte-limit analog)
+TARGET_PART_BYTES = 64 << 20  # raw bytes per partition (scale knob)
+
+OUT_SCHEMA = pa.schema(
+    [
+        pa.field("chunk_id", pa.int64()),
+        pa.field("seq", pa.int32()),
+        pa.field("col", pa.string()),
+        pa.field("codec", pa.string()),
+        pa.field("meta", pa.string()),
+        pa.field("payload", pa.binary()),
+        pa.field("n_rows", pa.int32()),
+        pa.field("raw_bytes", pa.int64()),
+        pa.field("enc_bytes", pa.int64()),
+        pa.field("crc", pa.int64()),
+        pa.field("selection", pa.string()),
+        pa.field("part_id", pa.int32()),
+    ]
+)
+
+OUT_DDL = (
+    "chunk_id long, seq int, col string, codec string, meta string, "
+    "payload binary, n_rows int, raw_bytes long, enc_bytes long, crc long, "
+    "selection string, part_id int"
+)
+
+#: physical columns of one encoded chunk; ``offsets`` is the int64 index that
+#: flattens ``tokens`` (list layout = `src/orc/col.clj:114-116`)
+CHUNK_COLS = ("doc_id", "source", "n_tok", "token_values", "offsets")
+
+
+def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int) -> dict[str, list]:
+    """Encode one chunk's five physical columns → manifest/payload rows."""
+    n = tbl.num_rows
+    tokens = tbl.column("tokens").combine_chunks()
+    flat = np.asarray(tokens.flatten(), dtype=np.int32)
+    n_tok = np.asarray(tbl.column("n_tok").combine_chunks(), dtype=np.int32)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=offsets[1:])
+    columns: dict[str, tuple[object, str, int]] = {
+        "doc_id": (StringCol.from_arrow(tbl.column("doc_id").combine_chunks()), "str", 0),
+        "source": (StringCol.from_arrow(tbl.column("source").combine_chunks()), "str", 0),
+        "n_tok": (n_tok, "int", n_tok.nbytes),
+        "token_values": (flat, "int", flat.nbytes),
+        "offsets": (offsets, "int", offsets.nbytes),
+    }
+    chunk_id = (part_id << 20) | seq
+    rows: dict[str, list] = {k.name: [] for k in OUT_SCHEMA}
+    for col_name, (col, kind, raw) in columns.items():
+        if kind == "str":
+            raw = len(col.data) + col.offsets.nbytes
+        payload, meta, selection = encode_column(col, kind)
+        rows["chunk_id"].append(chunk_id)
+        rows["seq"].append(seq)
+        rows["col"].append(col_name)
+        rows["codec"].append(selection["codec"])
+        rows["meta"].append(json.dumps(meta, separators=(",", ":")))
+        rows["payload"].append(payload)
+        rows["n_rows"].append(n)
+        rows["raw_bytes"].append(int(raw))
+        rows["enc_bytes"].append(len(payload))
+        rows["crc"].append(crc32(payload))
+        rows["selection"].append(json.dumps(selection, separators=(",", ":")))
+        rows["part_id"].append(part_id)
+    return rows
+
+
+def _iter_part_slices(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[tuple[int, pa.RecordBatch]]:
+    """Split incoming batches at part_id boundaries (input is sorted by
+    part_id within the Spark partition, so boundaries are contiguous)."""
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        part_ids = np.asarray(batch.column(batch.schema.get_field_index("part_id")))
+        cuts = np.flatnonzero(np.diff(part_ids) != 0) + 1
+        edges = np.concatenate([[0], cuts, [batch.num_rows]])
+        for lo, hi in zip(edges[:-1], edges[1:]):
+            yield int(part_ids[lo]), batch.slice(lo, hi - lo)
+
+
+def make_encoder(chunk_bytes: int = DEFAULT_CHUNK_BYTES):
+    """Build the mapInArrow function: batches → encoded chunk rows.
+
+    Accumulates batches until the raw token-byte budget is hit, then flushes a
+    chunk — the reference's byte-limited governor (`src/orc/json.clj:87-91`),
+    with part_id boundaries as hard flush points (chunks never span the
+    resume/lineage unit).
+    """
+
+    def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        buf: list[pa.RecordBatch] = []
+        buf_bytes = 0
+        cur_part = None
+        seq = 0
+
+        def flush() -> Iterator[pa.RecordBatch]:
+            nonlocal buf, buf_bytes, seq
+            if not buf:
+                return
+            tbl = pa.Table.from_batches(buf)
+            rows = _encode_chunk_rows(tbl, cur_part, seq)
+            seq += 1
+            buf, buf_bytes = [], 0
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(rows[f.name], type=f.type) for f in OUT_SCHEMA],
+                schema=OUT_SCHEMA,
+            )
+
+        for part_id, batch in _iter_part_slices(batches):
+            if cur_part is not None and part_id != cur_part:
+                yield from flush()
+                seq = 0
+            cur_part = part_id
+            # split oversized batches on token-byte budget
+            n_tok = np.asarray(batch.column(batch.schema.get_field_index("n_tok")))
+            tok_bytes = n_tok.astype(np.int64) * 4
+            lo = 0
+            while lo < batch.num_rows:
+                csum = np.cumsum(tok_bytes[lo:])
+                room = chunk_bytes - buf_bytes
+                hi = lo + max(1, int(np.searchsorted(csum, room, side="right")))
+                hi = min(hi, batch.num_rows)
+                piece = batch.slice(lo, hi - lo)
+                buf.append(piece)
+                buf_bytes += int(tok_bytes[lo:hi].sum())
+                if buf_bytes >= chunk_bytes:
+                    yield from flush()
+                lo = hi
+        yield from flush()
+
+    return encode_partition
+
+
+def _default_n_partitions(spark, df, input_path: str | None) -> int:
+    if input_path is not None:
+        total = 0
+        for root, _, files in os.walk(input_path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        if total:
+            # parquet is ~2x lighter than raw token bytes on this data
+            return max(1, int(total * 2 // TARGET_PART_BYTES))
+    return spark.sparkContext.defaultParallelism * 2
+
+
+def completed_part_ids(spark, out_dir: str) -> set[int]:
+    parts_dir = os.path.join(out_dir, "manifest", "parts")
+    if not os.path.isdir(parts_dir):
+        return set()
+    try:
+        rows = spark.read.parquet(parts_dir).select("part_id").distinct().collect()
+    except Exception:
+        return set()
+    return {r["part_id"] for r in rows}
+
+
+def encode(
+    spark,
+    input_path: str | None = None,
+    out_dir: str = None,
+    df=None,
+    n_partitions: int | None = None,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    resume: bool = True,
+    limit_parts: int | None = None,
+) -> dict:
+    """Run the encode job; resumable via the parts manifest.
+
+    ``limit_parts`` encodes only the first K pending partitions — used by the
+    resume tests to simulate a killed run (SURVEY.md §5 engine-test 5).
+    """
+    from pyspark.sql import functions as F
+
+    assert out_dir, "out_dir required"
+    if df is None:
+        df = spark.read.parquet(input_path)
+    if n_partitions is None:
+        n_partitions = _default_n_partitions(spark, df, input_path)
+
+    t0 = time.time()
+    planned, n_total = plan_partitions(df, n_partitions)
+
+    done = completed_part_ids(spark, out_dir) if resume else set()
+    pending = [p for p in range(n_total) if p not in done]
+    if limit_parts is not None:
+        pending = pending[:limit_parts]
+    if not pending:
+        return {"n_partitions": n_total, "pending": 0, "skipped": len(done),
+                "wall_sec": 0.0}
+
+    work = planned
+    if done or limit_parts is not None:
+        work = planned.where(F.col("part_id").isin(pending))
+
+    encoded = (
+        work.repartition(len(pending), "part_id")
+        .sortWithinPartitions("part_id", "source")
+        .mapInArrow(make_encoder(chunk_bytes), OUT_DDL)
+    )
+    chunks_dir = os.path.join(out_dir, "chunks")
+    (
+        encoded.write.mode("overwrite")  # dynamic: only touched part dirs
+        .partitionBy("part_id")
+        .parquet(chunks_dir)
+    )
+
+    # manifest: chunk records (payload pruned — parquet column pruning makes
+    # this read cheap) + per-partition completion markers, appended last so a
+    # crash before this point simply re-encodes the wave (idempotent via
+    # dynamic partition overwrite).
+    written = spark.read.parquet(chunks_dir).where(F.col("part_id").isin(pending))
+    manifest = written.drop("payload")
+    manifest.write.mode("append").parquet(os.path.join(out_dir, "manifest", "chunks"))
+    parts = (
+        written.groupBy("part_id")
+        .agg(
+            F.countDistinct("chunk_id").alias("n_chunks"),
+            (F.sum("n_rows") / F.lit(len(CHUNK_COLS))).cast("long").alias("n_rows"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+        )
+        .withColumn("status", F.lit("complete"))
+        .withColumn("completed_at", F.lit(time.time()))
+    )
+    parts.write.mode("append").parquet(os.path.join(out_dir, "manifest", "parts"))
+
+    wall = time.time() - t0
+    report = {
+        "n_partitions": n_total,
+        "pending": len(pending),
+        "skipped": len(done),
+        "chunk_bytes": chunk_bytes,
+        "wall_sec": wall,
+    }
+    meta_path = os.path.join(out_dir, "run_meta.json")
+    history = []
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            history = json.load(f).get("runs", [])
+    with open(meta_path, "w") as f:
+        json.dump(
+            {
+                "engine": "clj_orc_spark",
+                "schema_cols": list(CHUNK_COLS),
+                "runs": history + [report],
+            },
+            f,
+            indent=1,
+        )
+    return report

@@ -1,0 +1,82 @@
+"""Golden end-to-end round-trip: encode → decode → bit-identity + size gate.
+
+Engine-scale version of the reference's round-trip fixtures
+(`test/orc/read_test.clj:16-101`): deterministic table in, exact per-row
+token-array equality out, plus the ≤-reference-ORC-size gate and
+chunk-boundary cases (rows vs chunk-budget combinations mirroring the
+reference's bat-size 4/5 × rows 0/5/10 matrix).
+"""
+
+import os
+
+import pytest
+
+from clj_orc_spark.datagen import gen_table, write_token_table
+from clj_orc_spark.pipeline import decode, encode, size_gate, verify_roundtrip
+
+
+def test_roundtrip_bit_identical(spark, token_table_dir, tmp_dir):
+    out = os.path.join(tmp_dir, "enc")
+    report = encode(spark, os.path.join(token_table_dir, "tokens.parquet"), out,
+                    n_partitions=4)
+    assert report["pending"] >= 1
+
+    source = spark.read.parquet(os.path.join(token_table_dir, "tokens.parquet"))
+    decoded = decode(spark, out)
+    v = verify_roundtrip(source, decoded)
+    assert v["bit_identical"], v
+    assert v["total"] == 5_000
+
+
+def test_size_gate_vs_reference_orc(spark, token_table_dir, tmp_dir):
+    out = os.path.join(tmp_dir, "enc")
+    encode(spark, os.path.join(token_table_dir, "tokens.parquet"), out,
+           n_partitions=4)
+    orc_bytes = os.path.getsize(os.path.join(token_table_dir, "tokens.orc"))
+    gate = size_gate(spark, out, orc_bytes)
+    assert gate["under_bar"], gate
+    # we target a comfortable margin, not a squeaker
+    assert gate["ratio"] < 0.85, gate
+
+
+@pytest.mark.parametrize("n_rows,chunk_bytes", [
+    (1, 1 << 20),        # single row
+    (7, 256),            # budget smaller than one row → chunk per row
+    (100, 64 << 10),     # several chunks, partial last
+    (100, 1 << 30),      # single chunk
+])
+def test_chunk_boundaries(spark, tmp_dir, n_rows, chunk_bytes):
+    src_dir = os.path.join(tmp_dir, "src")
+    write_token_table(src_dir, n_rows, seed=7, with_orc_reference=False)
+    out = os.path.join(tmp_dir, "enc")
+    encode(spark, os.path.join(src_dir, "tokens.parquet"), out,
+           n_partitions=2, chunk_bytes=chunk_bytes)
+    source = spark.read.parquet(os.path.join(src_dir, "tokens.parquet"))
+    v = verify_roundtrip(source, decode(spark, out))
+    assert v["bit_identical"] and v["total"] == n_rows, v
+
+
+def test_empty_table(spark, tmp_dir):
+    import pyarrow.parquet as pq
+
+    src = os.path.join(tmp_dir, "empty.parquet")
+    pq.write_table(gen_table(0), src)
+    out = os.path.join(tmp_dir, "enc")
+    encode(spark, src, out, n_partitions=2)
+    assert decode(spark, out).count() == 0
+
+
+def test_manifest_records_selections(spark, token_table_dir, tmp_dir):
+    out = os.path.join(tmp_dir, "enc")
+    encode(spark, os.path.join(token_table_dir, "tokens.parquet"), out,
+           n_partitions=2)
+    manifest = spark.read.parquet(os.path.join(out, "manifest", "chunks"))
+    assert "payload" not in manifest.columns
+    cols = {r["col"] for r in manifest.select("col").distinct().collect()}
+    assert cols == {"doc_id", "source", "n_tok", "token_values", "offsets"}
+    # every chunk row carries codec + auditable selection estimates
+    row = manifest.first()
+    import json
+
+    sel = json.loads(row["selection"])
+    assert sel["codec"] == row["codec"] and "estimates" in sel
