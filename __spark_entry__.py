@@ -1,38 +1,421 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship encode→decode→verify round-trip on a deterministic
+token table (BASELINE.json input_hint shape), returning the per-column codec
+summary with the bit-identity verdict.
+
+``queries()`` / ``oracle_sql()`` — operator coverage per SURVEY.md §2 with
+DuckDB-checkable ANSI SQL oracles.  Non-SQL-expressible engine ops (encode
+round-trip, codec manifest, minhash) have queries() entries without oracles →
+driver records rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make clj_orc_spark importable on executors (driver may own the session)."""
+    from clj_orc_spark.session import package_zip
+
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added in this session
+
+
+def _token_table(spark: SparkSession, n_rows: int) -> str:
+    """Deterministic token-table parquet (cached under /tmp)."""
+    from clj_orc_spark.datagen import write_token_table
+
+    d = os.path.join("/tmp", f"clj-orc-spark-tokens-{n_rows}")
+    write_token_table(d, n_rows, seed=42, with_orc_reference=True)
+    return d
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: encode → decode → bit-identity verify on a 2k-row table."""
+    import shutil
+
+    from clj_orc_spark.pipeline import decode, encode, size_gate, verify_roundtrip
+
+    _ship_package(spark)
+    table_dir = _token_table(spark, 2_000)
+    out = "/tmp/clj-orc-spark-entry-out"
+    shutil.rmtree(out, ignore_errors=True)
+    src_path = os.path.join(table_dir, "tokens.parquet")
+    encode(spark, src_path, out, n_partitions=4)
+    source = spark.read.parquet(src_path)
+    v = verify_roundtrip(source, decode(spark, out))
+    g = size_gate(spark, out, os.path.getsize(os.path.join(table_dir, "tokens.orc")))
+
+    manifest = spark.read.parquet(os.path.join(out, "manifest", "chunks"))
+    return (
+        manifest.groupBy("col", "codec")
+        .agg(
+            F.sum("enc_bytes").alias("enc_bytes"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .withColumn("bit_identical", F.lit(bool(v["bit_identical"])))
+        .withColumn("under_orc_bar", F.lit(bool(g["under_bar"])))
+        .orderBy("col", "codec")
+    )
+
+
+# --------------------------------------------------------------------------
+# queries / oracles
+# --------------------------------------------------------------------------
+
+
+def _q_scan_project(spark, sf):  # S1/S2 scan + T10 projection plan
+    return spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+def _q_filter(spark, sf):  # predicate pushdown surface (§2.3)
+    return (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .where((F.col("l_quantity") > 30) & (F.col("l_returnflag") == "R"))
+        .groupBy("l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+
+
+def _utc(spark):
+    """Pin UTC like the reference's joda-time decode (`src/orc/col.clj:22-26`)
+    so formatted strings match the tz-naive DuckDB oracle."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _q_date_format(spark, sf):  # T3 date → 'yyyy-MM-dd' string
+    from clj_orc_spark.functions.parity import date_to_string
+
+    _utc(spark)
+    return (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .select(date_to_string(F.col("l_shipdate")).alias("ship_day"))
+        .groupBy("ship_day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _q_timestamp_format(spark, sf):  # T4 ts → 'yyyy-MM-dd HH:mm:ss' string
+    from clj_orc_spark.functions.parity import timestamp_to_string
+
+    _utc(spark)
+    return (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select(timestamp_to_string(F.col("ts")).alias("ts_str"), "event_type")
+        .where(F.col("ts_str") >= "2024-01-02 00:00:00")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("ts_str").alias("max_ts"))
+    )
+
+
+def _q_nan_null(spark, sf):  # T5 NaN→null normalization
+    from clj_orc_spark.functions.parity import nan_to_null
+
+    return (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select(nan_to_null(F.col("value")).alias("v"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("v").alias("non_null_cnt"),
+            F.round(F.sum("v"), 3).alias("v_sum"),
+        )
+    )
+
+
+def _q_byte_count(spark, sf):  # J2 UTF-8 byte accounting
+    from clj_orc_spark.functions.parity import utf8_byte_count
+
+    return (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .groupBy("source")
+        .agg(
+            F.sum(utf8_byte_count(F.col("text"))).alias("total_bytes"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def _q_json_chunks(spark, sf):  # J3/J5 byte-limited chunk assembly
+    from clj_orc_spark.functions.parity import byte_budget_chunk_id, utf8_byte_count
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", utf8_byte_count(F.col("text")).alias("nbytes")
+    )
+    with_chunk = docs.select(
+        "doc_id", "nbytes",
+        byte_budget_chunk_id(F.col("nbytes"), F.col("doc_id"), 65536).alias("chunk_id"),
+    )
+    return with_chunk.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("nbytes").alias("chunk_bytes")
+    )
+
+
+def _q_rollup_metrics(spark, sf):  # manifest rollup agg analog
+    return (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 3).alias("avg_chars"),
+        )
+    )
+
+
+def _q_length_buckets(spark, sf):  # skew-plan bucketing analog (fixed bounds)
+    c = F.col("n_chars")
+    bucket = (
+        F.when(c <= 250, 0).when(c <= 500, 1).when(c <= 1000, 2)
+        .when(c <= 2000, 3).otherwise(4)
+    )
+    return (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(bucket.cast("int").alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars"))
+    )
+
+
+def _q_dedup_exact(spark, sf):  # exact dedup via content hash
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("cnt") > 1)
+    )
+
+
+def _q_word_count(spark, sf):  # token counting (whitespace model)
+    t = F.col("text")
+    words = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + F.lit(1)
+    return (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("lang", words.cast("long").alias("n_words"))
+        .groupBy("lang")
+        .agg(F.sum("n_words").alias("total_words"),
+             F.round(F.avg("n_words"), 3).alias("avg_words"))
+    )
+
+
+def _q_quality_score(spark, sf):  # quality scoring: non-alnum ratio
+    t = F.col("text")
+    punct = F.length(F.regexp_replace(t, "[a-zA-Z0-9 ]", ""))
+    score = F.round(punct / F.greatest(F.length(t), F.lit(1)), 6)
+    return (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("source", score.alias("punct_ratio"))
+        .groupBy("source")
+        .agg(F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+             F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _q_orders_join(spark, sf):  # broadcast equi-join (verification-join analog)
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    customer = spark.read.parquet(f"{sf}/customer.parquet")
+    return (
+        orders.join(F.broadcast(customer),
+                    orders.o_custkey == customer.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+    )
+
+
+def _q_pricing_summary(spark, sf):  # TPC-H Q1-style agg (bench headliner)
+    _utc(spark)
+    l = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        l.where(F.col("l_shipdate") <= "2024-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_embed_topk(spark, sf):  # brute-force cosine top-k (similarity baseline)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(dot / (norm(F.col("embedding")) * norm(F.col("qv"))), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+def _q_encode_roundtrip(spark, sf):  # flagship engine op (non-SQL → rows-only)
+    return entry(spark)
+
+
+def _q_codec_manifest(spark, sf):  # codec selection audit (non-SQL → rows-only)
+    import shutil
+
+    from clj_orc_spark.pipeline import encode
+
+    _ship_package(spark)
+    table_dir = _token_table(spark, 2_000)
+    out = "/tmp/clj-orc-spark-manifest-out"
+    shutil.rmtree(out, ignore_errors=True)
+    encode(spark, os.path.join(table_dir, "tokens.parquet"), out, n_partitions=4)
+    m = spark.read.parquet(os.path.join(out, "manifest", "chunks"))
+    return m.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+        F.countDistinct("codec").alias("n_codecs"),
+    ).orderBy("col")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "scan_project": _q_scan_project,
+        "filter_agg": _q_filter,
+        "date_format": _q_date_format,
+        "timestamp_format": _q_timestamp_format,
+        "nan_null": _q_nan_null,
+        "byte_count": _q_byte_count,
+        "json_chunks": _q_json_chunks,
+        "rollup_metrics": _q_rollup_metrics,
+        "length_buckets": _q_length_buckets,
+        "dedup_exact": _q_dedup_exact,
+        "word_count": _q_word_count,
+        "quality_score": _q_quality_score,
+        "orders_join": _q_orders_join,
+        "pricing_summary": _q_pricing_summary,
+        "embed_topk": _q_embed_topk,
+        "encode_roundtrip": _q_encode_roundtrip,
+        "codec_manifest": _q_codec_manifest,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "scan_project": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
+        ),
+        "filter_agg": (
+            "SELECT l_linestatus, count(*) AS cnt,"
+            " round(sum(l_extendedprice), 2) AS revenue"
+            " FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'"
+            " GROUP BY l_linestatus"
+        ),
+        "date_format": (
+            "SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_day, count(*) AS cnt"
+            " FROM lineitem GROUP BY 1"
+        ),
+        "timestamp_format": (
+            "SELECT event_type, count(*) AS cnt, max(ts_str) AS max_ts FROM ("
+            "  SELECT event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str"
+            "  FROM events) WHERE ts_str >= '2024-01-02 00:00:00'"
+            " GROUP BY event_type"
+        ),
+        "nan_null": (
+            "SELECT event_type, count(v) AS non_null_cnt,"
+            " round(sum(v), 3) AS v_sum FROM ("
+            "  SELECT event_type,"
+            "  CASE WHEN isnan(value) THEN NULL ELSE value END AS v FROM events)"
+            " GROUP BY event_type"
+        ),
+        "byte_count": (
+            "SELECT source, sum(strlen(text)) AS total_bytes, count(*) AS n_docs"
+            " FROM documents GROUP BY source"
+        ),
+        "json_chunks": (
+            "SELECT chunk_id, count(*) AS n_docs, sum(nbytes) AS chunk_bytes FROM ("
+            "  SELECT doc_id, strlen(text) AS nbytes,"
+            "  CAST(floor((sum(strlen(text)) OVER (ORDER BY doc_id"
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 65536)"
+            "    AS BIGINT) AS chunk_id"
+            "  FROM documents) GROUP BY chunk_id"
+        ),
+        "rollup_metrics": (
+            "SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars,"
+            " round(avg(n_chars), 3) AS avg_chars"
+            " FROM documents GROUP BY source, lang"
+        ),
+        "length_buckets": (
+            "SELECT bucket, count(*) AS n_docs, sum(n_chars) AS chars FROM ("
+            "  SELECT CAST(CASE WHEN n_chars <= 250 THEN 0"
+            "   WHEN n_chars <= 500 THEN 1 WHEN n_chars <= 1000 THEN 2"
+            "   WHEN n_chars <= 2000 THEN 3 ELSE 4 END AS INT) AS bucket, n_chars"
+            "  FROM documents) GROUP BY bucket"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id"
+            " FROM documents GROUP BY md5(text) HAVING count(*) > 1"
+        ),
+        "word_count": (
+            "SELECT lang, sum(n_words) AS total_words,"
+            " round(avg(n_words), 3) AS avg_words FROM ("
+            "  SELECT lang, CAST(length(text) - length(replace(text, ' ', ''))"
+            "   + 1 AS BIGINT) AS n_words FROM documents)"
+            " GROUP BY lang"
+        ),
+        "quality_score": (
+            "SELECT source, round(avg(punct_ratio), 6) AS avg_punct_ratio,"
+            " count(*) AS n_docs FROM ("
+            "  SELECT source, round(length(regexp_replace(text,"
+            "   '[a-zA-Z0-9 ]', '', 'g')) * 1.0 /"
+            "   greatest(length(text), 1), 6) AS punct_ratio FROM documents)"
+            " GROUP BY source"
+        ),
+        "orders_join": (
+            "SELECT c_mktsegment, count(*) AS n_orders,"
+            " round(sum(o_totalprice), 2) AS total_price"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " GROUP BY c_mktsegment"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,"
+            " round(sum(l_extendedprice), 2) AS sum_base_price,"
+            " round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,"
+            " round(avg(l_quantity), 6) AS avg_qty, count(*) AS count_order"
+            " FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'"
+            " GROUP BY l_returnflag, l_linestatus"
+        ),
+        "embed_topk": (
+            "WITH d AS (SELECT vec_id,"
+            "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"
+            "  FROM embeddings)"
+            " SELECT e.vec_id,"
+            " round(list_cosine_similarity(e.embedding, q.embedding), 6) AS cos_sim"
+            " FROM d e, (SELECT embedding FROM d WHERE vec_id = 0) q"
+            " WHERE e.vec_id != 0"
+            " ORDER BY cos_sim DESC, e.vec_id LIMIT 10"
+        ),
+        # encode_roundtrip / codec_manifest: engine-native ops, rows-only check
+    }

@@ -108,7 +108,9 @@ def write_token_table(
     marker = os.path.join(out_dir, f".gen-{n_rows}-{seed}")
     if not os.path.exists(marker):
         table = gen_table(n_rows, seed)
-        pq.write_table(table, pq_path)
+        # bounded row groups → splittable scan (a single giant row group
+        # collapses Spark's read parallelism to 1 task)
+        pq.write_table(table, pq_path, row_group_size=32_768)
         if with_orc_reference:
             paorc.write_table(table, orc_path)  # defaults — the size bar
         open(marker, "w").close()

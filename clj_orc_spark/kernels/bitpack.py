@@ -33,14 +33,21 @@ _FAST_WIDTH_DTYPE = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}
 
 
 def pack_bits(values: np.ndarray, width: int) -> bytes:
-    """Pack uint64 ``values`` (< 2**width) at ``width`` bits, little-endian."""
-    values = values.astype(np.uint64, copy=False)
+    """Pack uint64 ``values`` (< 2**width) at ``width`` bits, little-endian.
+
+    Byte-level fast path: view each value's low ``ceil(width/8)`` bytes, let
+    C-speed ``np.unpackbits``/``np.packbits`` do the bit shuffling — no n×w
+    uint64 intermediate (the naive shift-matrix costs ~50x more memory traffic
+    and dominated the encode profile before this).
+    """
+    values = np.ascontiguousarray(values, dtype=np.uint64)
     if width == 0 or len(values) == 0:
         return b""
     if width in _FAST_WIDTH_DTYPE:
         return values.astype(_FAST_WIDTH_DTYPE[width]).tobytes()
-    shifts = np.arange(width, dtype=np.uint64)
-    bits = ((values[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    nb = (width + 7) // 8
+    le_bytes = values.view(np.uint8).reshape(-1, 8)[:, :nb]
+    bits = np.unpackbits(le_bytes, axis=1, bitorder="little")[:, :width]
     return np.packbits(bits.ravel(), bitorder="little").tobytes()
 
 
@@ -50,9 +57,26 @@ def unpack_bits(buf: bytes, width: int, n: int) -> np.ndarray:
         return np.zeros(n, dtype=np.uint64)
     if width in _FAST_WIDTH_DTYPE:
         return np.frombuffer(buf, dtype=_FAST_WIDTH_DTYPE[width], count=n).astype(np.uint64)
-    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8), count=n * width, bitorder="little")
-    shifts = np.arange(width, dtype=np.uint64)
-    return (bits.reshape(n, width).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+    bits = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8), count=n * width, bitorder="little"
+    ).reshape(n, width)
+    nb = (width + 7) // 8
+    padded = np.zeros((n, nb * 8), dtype=np.uint8)
+    padded[:, :width] = bits
+    by = np.packbits(padded, axis=1, bitorder="little")  # (n, nb) LE bytes
+    out = np.zeros((n, 8), dtype=np.uint8)
+    out[:, :nb] = by
+    return out.view(np.uint64).ravel()
+
+
+_POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+
+def bit_lengths(res: np.ndarray) -> np.ndarray:
+    """Exact per-value bit length of uint64 residuals, vectorized.
+
+    ``searchsorted`` over the 64 powers of two — no float log2 edge cases."""
+    return np.searchsorted(_POW2, res, side="right").astype(np.int64)
 
 
 def packed_nbytes(n: int, width: int) -> int:
@@ -116,42 +140,51 @@ class PatchedFor:
     name = "patched_for"
 
     @staticmethod
-    def _best_width(res: np.ndarray, n: int) -> tuple[int, int, np.ndarray]:
-        """Return (w, cost_bytes, bitlen_counts) minimizing exact cost."""
-        full = bit_width(int(res.max())) if n else 0
-        # numpy-native bit length: floor(log2(res)) + 1 for nonzero
-        nz = res != 0
-        lens = np.zeros(n, dtype=np.int64)
-        if nz.any():
-            res_nz = res[nz]
-            lens_nz = np.floor(np.log2(res_nz.astype(np.float64))).astype(np.int64) + 1
-            # float log2 is inexact near 2**53+; correct with exact check
-            hi = lens_nz > 52
-            if hi.any():
-                lens_nz[hi] = np.array(
-                    [int(v).bit_length() for v in res_nz[hi]], dtype=np.int64
-                )
-            lens[nz] = lens_nz
-        counts = np.bincount(lens, minlength=full + 1)
-        n_exc_ge = np.concatenate([np.cumsum(counts[::-1])[::-1][1:], [0]])  # exceptions if w = idx
+    def best_width_from_hist(counts: np.ndarray, n: int, full: int) -> tuple[int, int]:
+        """(w, cost_bytes) minimizing exact cost given a bit-length histogram.
+
+        The histogram may be scaled up from a sample (selector path) — the
+        cost formula only needs counts, so sampled selection and exact encode
+        share this code.
+        """
+        n_exc_ge = np.concatenate([np.cumsum(counts[::-1])[::-1][1:], [0]])
         pos_w = bit_width(max(n - 1, 0))
         bitmap_cost = (n + 7) // 8
-        best_w, best_cost = full, packed_nbytes(n, full)
+        costs = {full: packed_nbytes(n, full)}
         for w in range(full):
-            n_exc = int(n_exc_ge[w])
+            n_exc = int(n_exc_ge[w]) if w < len(n_exc_ge) else 0
             pos_cost = min(packed_nbytes(n_exc, pos_w), bitmap_cost)
-            cost = (
+            costs[w] = (
                 packed_nbytes(n, w)
                 + pos_cost
                 + packed_nbytes(n_exc, full - w)
                 + 16
             )
-            if cost < best_cost:
-                best_w, best_cost = w, cost
-        return best_w, best_cost, counts
+        best_cost = min(costs.values())
+        # speed-aware tie-break: within 2% of optimal, prefer widths whose
+        # base AND exception streams are byte-aligned (pure astype pack,
+        # ~10x faster than bit shuffling) — on zipfian tokens this picks
+        # w=8 over w=6 for +0.1 bits/token and a large throughput win.
+        tol = best_cost * 1.02 + 8
+        def aligned(w):
+            return (w % 8 == 0 or w == 0) and ((full - w) % 8 == 0)
+        candidates = sorted(
+            (w for w, c in costs.items() if c <= tol),
+            key=lambda w: (not aligned(w), costs[w], w),
+        )
+        best_w = candidates[0]
+        return best_w, costs[best_w]
 
     @classmethod
-    def encode(cls, arr: np.ndarray) -> tuple[bytes, dict]:
+    def _best_width(cls, res: np.ndarray, n: int) -> tuple[int, int, np.ndarray]:
+        """Return (w, cost_bytes, bitlen_counts) minimizing exact cost."""
+        full = bit_width(int(res.max())) if n else 0
+        counts = np.bincount(bit_lengths(res), minlength=full + 1)
+        w, cost = cls.best_width_from_hist(counts, n, full)
+        return w, cost, counts
+
+    @classmethod
+    def encode(cls, arr: np.ndarray, width_hint: int | None = None) -> tuple[bytes, dict]:
         dtype = str(arr.dtype)
         n = len(arr)
         if n == 0:
@@ -160,7 +193,10 @@ class PatchedFor:
         ref = int(arr.min())
         res = as_unsigned_residuals(arr, ref)
         full = bit_width(int(res.max()))
-        w, _, _ = cls._best_width(res, n)
+        if width_hint is not None and width_hint < full:
+            w = width_hint  # selector-sampled choice; cost deviation is tiny
+        else:
+            w, _, _ = cls._best_width(res, n)
         mask = np.uint64((1 << w) - 1) if w else np.uint64(0)
         base = res & mask
         exc_mask = res > mask

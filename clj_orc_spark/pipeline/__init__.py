@@ -3,4 +3,9 @@
 from .decode import decode  # noqa: F401
 from .encode import encode  # noqa: F401
 from .skew import partition_balance_report, plan_partitions  # noqa: F401
-from .verify import encoded_size_bytes, size_gate, verify_roundtrip  # noqa: F401
+from .verify import (  # noqa: F401
+    encoded_size_bytes,
+    size_gate,
+    verify_digest,
+    verify_roundtrip,
+)

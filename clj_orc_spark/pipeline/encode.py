@@ -126,51 +126,50 @@ def make_encoder(chunk_bytes: int = DEFAULT_CHUNK_BYTES):
     """Build the mapInArrow function: batches → encoded chunk rows.
 
     Accumulates batches until the raw token-byte budget is hit, then flushes a
-    chunk — the reference's byte-limited governor (`src/orc/json.clj:87-91`),
-    with part_id boundaries as hard flush points (chunks never span the
-    resume/lineage unit).
+    chunk — the reference's byte-limited governor (`src/orc/json.clj:87-91`).
+    Buffers are kept **per part_id** (a task may receive several part_ids when
+    the hash repartition collides), so no within-partition sort is needed —
+    the sort cost a third of the shuffle wall time and bought nothing.
+    Chunks never span a part_id (the resume/lineage unit).
     """
 
     def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        buf: list[pa.RecordBatch] = []
-        buf_bytes = 0
-        cur_part = None
-        seq = 0
+        bufs: dict[int, list[pa.RecordBatch]] = {}
+        buf_bytes: dict[int, int] = {}
+        seqs: dict[int, int] = {}
 
-        def flush() -> Iterator[pa.RecordBatch]:
-            nonlocal buf, buf_bytes, seq
+        def flush(part_id: int) -> Iterator[pa.RecordBatch]:
+            buf = bufs.get(part_id)
             if not buf:
                 return
             tbl = pa.Table.from_batches(buf)
-            rows = _encode_chunk_rows(tbl, cur_part, seq)
-            seq += 1
-            buf, buf_bytes = [], 0
+            rows = _encode_chunk_rows(tbl, part_id, seqs.get(part_id, 0))
+            seqs[part_id] = seqs.get(part_id, 0) + 1
+            bufs[part_id], buf_bytes[part_id] = [], 0
             yield pa.RecordBatch.from_arrays(
                 [pa.array(rows[f.name], type=f.type) for f in OUT_SCHEMA],
                 schema=OUT_SCHEMA,
             )
 
         for part_id, batch in _iter_part_slices(batches):
-            if cur_part is not None and part_id != cur_part:
-                yield from flush()
-                seq = 0
-            cur_part = part_id
-            # split oversized batches on token-byte budget
+            # split oversized slices on the token-byte budget
             n_tok = np.asarray(batch.column(batch.schema.get_field_index("n_tok")))
             tok_bytes = n_tok.astype(np.int64) * 4
             lo = 0
             while lo < batch.num_rows:
                 csum = np.cumsum(tok_bytes[lo:])
-                room = chunk_bytes - buf_bytes
+                room = chunk_bytes - buf_bytes.get(part_id, 0)
                 hi = lo + max(1, int(np.searchsorted(csum, room, side="right")))
                 hi = min(hi, batch.num_rows)
-                piece = batch.slice(lo, hi - lo)
-                buf.append(piece)
-                buf_bytes += int(tok_bytes[lo:hi].sum())
-                if buf_bytes >= chunk_bytes:
-                    yield from flush()
+                bufs.setdefault(part_id, []).append(batch.slice(lo, hi - lo))
+                buf_bytes[part_id] = buf_bytes.get(part_id, 0) + int(
+                    tok_bytes[lo:hi].sum()
+                )
+                if buf_bytes[part_id] >= chunk_bytes:
+                    yield from flush(part_id)
                 lo = hi
-        yield from flush()
+        for part_id in list(bufs):
+            yield from flush(part_id)
 
     return encode_partition
 
@@ -237,7 +236,6 @@ def encode(
 
     encoded = (
         work.repartition(len(pending), "part_id")
-        .sortWithinPartitions("part_id", "source")
         .mapInArrow(make_encoder(chunk_bytes), OUT_DDL)
     )
     chunks_dir = os.path.join(out_dir, "chunks")

@@ -31,48 +31,77 @@ DISTINCT_SAMPLE = 1 << 16
 FSST_SAMPLE_STRINGS = 2048
 
 
+INT_SAMPLE = 1 << 18  # values inspected for selection stats on huge chunks
+
+
+def _contiguous_sample(a: np.ndarray, target: int) -> tuple[np.ndarray, float]:
+    """Three contiguous slices (head/middle/tail) — preserves run/delta
+    structure, unlike strided sampling.  Returns (sample, scale)."""
+    n = len(a)
+    if n <= target * 2:
+        return a, 1.0
+    k = target // 3
+    mid = n // 2
+    s = np.concatenate([a[:k], a[mid : mid + k], a[-k:]])
+    return s, n / len(s)
+
+
 def int_stats(arr: np.ndarray) -> dict:
-    """One pass of cheap exact statistics for closed-form size estimates."""
+    """Cheap statistics for closed-form size estimates.
+
+    min/max are exact (two vectorized passes); run/delta/bit-length structure
+    comes from a contiguous sample scaled up — the honesty guard in
+    :func:`encode_column` bounds any selection error by the plain encoding.
+    """
     n = len(arr)
     itemsize = arr.dtype.itemsize
     if n == 0:
         return {"n": 0, "itemsize": itemsize, "for_width": 0, "delta_width": 0,
                 "n_runs": 0, "run_len_width": 0, "n_distinct": 0,
-                "patched_cost": 0}
+                "patched_cost": 0, "patched_width": None}
     a64 = arr.astype(np.int64, copy=False)
     lo, hi = int(a64.min()), int(a64.max())
-    res = (a64.view(np.uint64) - np.int64(lo).view(np.uint64))
-    for_width = bit_width(int(res.max()))
+    for_width = bit_width(int((np.int64(hi).view(np.uint64)
+                               - np.int64(lo).view(np.uint64))))
 
-    d = (a64[1:].view(np.uint64) - a64[:-1].view(np.uint64)).view(np.int64)
+    s64, scale = _contiguous_sample(a64, INT_SAMPLE)
+    sn = len(s64)
+
+    d = (s64[1:].view(np.uint64) - s64[:-1].view(np.uint64)).view(np.int64)
     if len(d):
         dlo = int(d.min())
-        dres = (d.view(np.uint64) - np.int64(dlo).view(np.uint64))
+        dres = d.view(np.uint64) - np.int64(dlo).view(np.uint64)
         delta_width = bit_width(int(dres.max()))
     else:
         delta_width = 0
 
-    starts = run_starts(a64)
-    n_runs = len(starts)
-    max_run = int(np.diff(np.concatenate([starts, [n]])).max()) if n_runs else 0
+    starts = run_starts(s64)
+    s_runs = len(starts)
+    max_run = int(np.diff(np.concatenate([starts, [sn]])).max()) if s_runs else 0
+    n_runs = max(1, int(s_runs * scale))
     run_len_width = bit_width(max_run)
 
-    if n <= DISTINCT_SAMPLE * 4:
-        n_distinct = len(np.unique(a64))
-        distinct_exact = True
-    else:
-        sample = a64[:: max(1, n // DISTINCT_SAMPLE)]
-        n_distinct = len(np.unique(sample))  # lower bound — biases against dict
-        distinct_exact = False
+    n_distinct = len(np.unique(s64))
+    distinct_exact = scale == 1.0
+    if not distinct_exact and n_distinct > sn // 2:
+        n_distinct = int(n_distinct * scale)  # high-card: extrapolate
 
-    _, patched_cost, _ = PatchedFor._best_width(res, n)
+    from .kernels.bitpack import bit_lengths
+
+    res_s = s64.view(np.uint64) - np.int64(lo).view(np.uint64)
+    counts = np.bincount(bit_lengths(res_s), minlength=for_width + 1)
+    if scale != 1.0:
+        counts = np.maximum((counts * scale).astype(np.int64), (counts > 0))
+    patched_width, patched_cost = PatchedFor.best_width_from_hist(
+        counts, n, for_width
+    )
 
     return {
         "n": n, "itemsize": itemsize, "min": lo, "max": hi,
         "for_width": for_width, "delta_width": delta_width,
         "n_runs": n_runs, "run_len_width": run_len_width,
         "n_distinct": n_distinct, "distinct_exact": distinct_exact,
-        "patched_cost": patched_cost,
+        "patched_cost": patched_cost, "patched_width": patched_width,
     }
 
 
@@ -112,8 +141,9 @@ INT_CANDIDATES = (PlainInt, ForBitpack, PatchedFor, Rle, Delta, DictInt)
 STR_CANDIDATES = (PlainStr, DictStr, Fsst)
 
 
-def select_int(arr: np.ndarray) -> tuple[str, dict]:
-    stats = int_stats(arr)
+def select_int(arr: np.ndarray, stats: dict | None = None) -> tuple[str, dict]:
+    if stats is None:
+        stats = int_stats(arr)
     if stats["n"] == 0:
         return PlainInt.name, {}
     ests = {}
@@ -146,8 +176,12 @@ def select_str(col: StringCol) -> tuple[str, dict]:
 def encode_column(column, kind: str) -> tuple[bytes, dict, dict]:
     """Select, encode, and guard: returns (payload, meta, selection_record)."""
     if kind == "int":
-        winner, ests = select_int(column)
-        payload, meta = INT_CODECS[winner].encode(column)
+        stats = int_stats(column)
+        winner, ests = select_int(column, stats=stats)
+        if winner == PatchedFor.name:
+            payload, meta = PatchedFor.encode(column, width_hint=stats["patched_width"])
+        else:
+            payload, meta = INT_CODECS[winner].encode(column)
         plain_size = column.nbytes
         if len(payload) > plain_size:
             payload, meta = PlainInt.encode(column)

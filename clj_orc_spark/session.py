@@ -55,6 +55,7 @@ def get_spark(master: str | None = None, app_name: str = "clj-orc-spark") -> Spa
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.files.maxPartitionBytes", str(32 << 20))
         .config("spark.sql.parquet.compression.codec", "uncompressed")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

@@ -1,0 +1,79 @@
+"""Driver-contract tests: entry() smoke + queries() vs oracle_sql() parity,
+replicating the driver's comparison (row count, schema width, order-insensitive
+value hash with columns sorted by name) at sf0.01."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _canon(rows, colnames):
+    """Order-insensitive canonical form: columns sorted by name, rows sorted."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def norm(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return f"{v:.6g}"
+        return str(v)
+
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 5  # one per physical column
+    assert all(r["bit_identical"] for r in rows)
+    assert all(r["under_orc_bar"] for r in rows)
+
+
+def test_every_query_runs(spark):
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(entry_mod.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column names differ: {spark_cols} vs {duck_cols}")
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row counts differ: {len(spark_rows)} vs {len(duck_rows)}")
+    assert _canon(spark_rows, spark_cols) == _canon(duck_rows, duck_cols), (
+        f"{name}: values differ")
+
+
+def test_oracle_keys_subset_of_queries():
+    qs, os_ = set(entry_mod.queries()), set(entry_mod.oracle_sql())
+    assert os_ <= qs
+    # non-SQL ops are known and intentional
+    assert qs - os_ == {"encode_roundtrip", "codec_manifest"}
