@@ -278,6 +278,86 @@ def _q_embed_topk(spark, sf):  # brute-force cosine top-k (similarity baseline)
     )
 
 
+def _q_windowed_events(spark, sf):  # streaming windowed agg (batch-equivalent plan)
+    from clj_orc_spark.streaming import windowed_event_counts
+
+    _utc(spark)
+    return windowed_event_counts(spark.read.parquet(f"{sf}/events.parquet"))
+
+
+def _q_fingerprint_stats(spark, sf):  # document fingerprinting rollup
+    from clj_orc_spark.operators import fingerprint
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    fp = fingerprint(docs)
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp_exact").alias("n_unique_exact"),
+        F.countDistinct("fp_norm").alias("n_unique_norm"),
+    )
+
+
+def _q_token_count_bpe(spark, sf):  # BPE-ish regex token counting
+    from clj_orc_spark.operators import token_count
+
+    return (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("source", token_count(F.col("text"), "bpe_regex").alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("total_tokens"),
+             F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _q_minhash_dedup(spark, sf):  # MinHash+LSH near-dup pairs (rows-only)
+    from clj_orc_spark.operators import minhash_lsh
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return minhash_lsh(docs, threshold=0.5)
+
+
+def _q_simhash_dedup(spark, sf):  # SimHash near-dup pairs (rows-only)
+    from clj_orc_spark.operators import simhash_candidates
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return simhash_candidates(docs, max_hamming=3)
+
+
+def _q_lang_id(spark, sf):  # heuristic language ID rollup (rows-only)
+    from clj_orc_spark.operators import language_id
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        language_id(docs).groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _q_ivf_ann(spark, sf):  # IVF approximate nearest neighbors (rows-only)
+    from clj_orc_spark.operators import ivf_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    return ivf_topk(emb.where(F.col("vec_id") != 0), list(q), k=10,
+                    n_centroids=8, n_probe=4)
+
+
+def _q_quality_filter(spark, sf):  # composite quality scoring (rows-only)
+    from clj_orc_spark.operators import quality_score
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        quality_score(docs)
+        .groupBy("source")
+        .agg(F.round(F.avg("quality"), 4).alias("avg_quality"),
+             F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def _q_encode_roundtrip(spark, sf):  # flagship engine op (non-SQL → rows-only)
     return entry(spark)
 
@@ -300,25 +380,44 @@ def _q_codec_manifest(spark, sf):  # codec selection audit (non-SQL → rows-onl
     ).orderBy("col")
 
 
+def _shipped(fn: Callable) -> Callable:
+    """Every query may reach executors through clj_orc_spark UDF closures —
+    ship the package zip before running (no-op when already shipped)."""
+
+    def wrapper(spark: SparkSession, sf: str) -> DataFrame:
+        _ship_package(spark)
+        return fn(spark, sf)
+
+    return wrapper
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "scan_project": _q_scan_project,
-        "filter_agg": _q_filter,
-        "date_format": _q_date_format,
-        "timestamp_format": _q_timestamp_format,
-        "nan_null": _q_nan_null,
-        "byte_count": _q_byte_count,
-        "json_chunks": _q_json_chunks,
-        "rollup_metrics": _q_rollup_metrics,
-        "length_buckets": _q_length_buckets,
-        "dedup_exact": _q_dedup_exact,
-        "word_count": _q_word_count,
-        "quality_score": _q_quality_score,
-        "orders_join": _q_orders_join,
-        "pricing_summary": _q_pricing_summary,
-        "embed_topk": _q_embed_topk,
-        "encode_roundtrip": _q_encode_roundtrip,
-        "codec_manifest": _q_codec_manifest,
+        "scan_project": _shipped(_q_scan_project),
+        "filter_agg": _shipped(_q_filter),
+        "date_format": _shipped(_q_date_format),
+        "timestamp_format": _shipped(_q_timestamp_format),
+        "nan_null": _shipped(_q_nan_null),
+        "byte_count": _shipped(_q_byte_count),
+        "json_chunks": _shipped(_q_json_chunks),
+        "rollup_metrics": _shipped(_q_rollup_metrics),
+        "length_buckets": _shipped(_q_length_buckets),
+        "dedup_exact": _shipped(_q_dedup_exact),
+        "word_count": _shipped(_q_word_count),
+        "quality_score": _shipped(_q_quality_score),
+        "orders_join": _shipped(_q_orders_join),
+        "pricing_summary": _shipped(_q_pricing_summary),
+        "embed_topk": _shipped(_q_embed_topk),
+        "windowed_events": _shipped(_q_windowed_events),
+        "fingerprint_stats": _shipped(_q_fingerprint_stats),
+        "token_count_bpe": _shipped(_q_token_count_bpe),
+        "minhash_dedup": _shipped(_q_minhash_dedup),
+        "simhash_dedup": _shipped(_q_simhash_dedup),
+        "lang_id": _shipped(_q_lang_id),
+        "ivf_ann": _shipped(_q_ivf_ann),
+        "quality_filter": _shipped(_q_quality_filter),
+        "encode_roundtrip": _shipped(_q_encode_roundtrip),
+        "codec_manifest": _shipped(_q_codec_manifest),
     }
 
 
@@ -417,5 +516,26 @@ def oracle_sql() -> dict[str, str]:
             " WHERE e.vec_id != 0"
             " ORDER BY cos_sim DESC, e.vec_id LIMIT 10"
         ),
-        # encode_roundtrip / codec_manifest: engine-native ops, rows-only check
+        "windowed_events": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')"
+            "  AS window_start, event_type, count(*) AS cnt,"
+            "  round(sum(value), 3) AS value_sum"
+            " FROM events GROUP BY 1, 2"
+        ),
+        "fingerprint_stats": (
+            "SELECT count(*) AS n_docs,"
+            " count(DISTINCT text) AS n_unique_exact,"
+            " count(DISTINCT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+            "  AS n_unique_norm"
+            " FROM documents"
+        ),
+        "token_count_bpe": (
+            "SELECT source,"
+            " sum(length(regexp_extract_all(text, '\\w+|[^\\w\\s]')))"
+            "  AS total_tokens, count(*) AS n_docs"
+            " FROM documents GROUP BY source"
+        ),
+        # engine-native / heuristic ops (rows-only check): encode_roundtrip,
+        # codec_manifest, minhash_dedup, simhash_dedup, lang_id, ivf_ann,
+        # quality_filter
     }

@@ -1,0 +1,23 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing — the large-scale operations a 100 TB token pipeline
+needs alongside the encode engine."""
+
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_lsh,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from .similarity import (  # noqa: F401
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+    train_ivf,
+)
+from .textstats import (  # noqa: F401
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)

@@ -1,0 +1,257 @@
+"""Deduplication operators for training-data pipelines.
+
+Four dedup modes over a documents table, each designed for the 100 TB case:
+
+* :func:`exact_dedup` — hash-groupBy; one shuffle of (hash, id), never of text.
+* :func:`minhash_lsh` — shingle → MinHash signature (vectorized numpy inside a
+  pandas UDF) → banded LSH bucket join; candidate verification by signature
+  Jaccard.  The shuffle carries only (band_hash, id, signature), not text.
+* :func:`simhash` — 64-bit SimHash + pigeonhole banding (k-bit Hamming
+  neighbors must share one of k+1 bands) → candidate pairs + exact Hamming
+  verify, all in Spark SQL expressions after the signature UDF.
+* :func:`ngram_jaccard_pairs` — exact n-gram Jaccard on candidate pairs
+  (the verification stage; quadratic only within capped LSH buckets).
+
+Buckets larger than ``max_bucket`` are dropped (standard LSH practice —
+they're near-identical boilerplate clusters; dropping bounds the worst-case
+join output, which is what actually kills LSH joins at scale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _shingle_hashes(text: str, width: int) -> np.ndarray:
+    """Rolling byte-window hashes (the FSST window trick, reused)."""
+    b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    n = len(b) - width + 1
+    if n <= 0:
+        return np.zeros(1, dtype=np.uint64)
+    h = np.zeros(n, dtype=np.uint64)
+    d = b.astype(np.uint64)
+    for j in range(width):
+        h = h * np.uint64(131) + d[j : j + n]
+    return np.unique(h)
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, num_perm, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE, num_perm, dtype=np.uint64)
+    return a, b
+
+
+def make_minhash_udf(num_perm: int = 64, shingle: int = 5, seed: int = 42):
+    """pandas UDF: text → array<bigint> MinHash signature (vectorized)."""
+    a, b = _perm_params(num_perm, seed)
+
+    @pandas_udf("array<long>")
+    def minhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            h = _shingle_hashes(t or "", shingle)
+            # (a*h + b) mod p, min over shingles, per permutation
+            vals = (a[:, None] * h[None, :] + b[:, None]) % MERSENNE
+            out.append(vals.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return minhash
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_perm: int = 64, shingle: int = 5,
+) -> DataFrame:
+    mh = make_minhash_udf(num_perm, shingle)
+    return df.select(F.col(id_col).alias("id"), mh(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 5,
+    threshold: float = 0.7,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, est_jaccard ≥ threshold)."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle)
+
+    band_cols = [
+        F.xxhash64(
+            F.lit(bi),
+            *[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)],
+        ).alias(f"b{bi}")
+        for bi in range(bands)
+    ]
+    banded = sigs.select("id", "sig", F.array(*band_cols).alias("bands"))
+    exploded = banded.select(
+        "id", "sig", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    # bucket join: pairs within (band_idx, band_hash); cap bucket size
+    grouped = exploded.groupBy("band_idx", "band_hash").agg(
+        F.collect_list(F.struct("id", "sig")).alias("members")
+    ).where((F.size("members") > 1) & (F.size("members") <= max_bucket))
+
+    pairs = grouped.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "members",
+                        lambda m, i: F.transform(
+                            F.slice("members", i + 2, F.size("members")),
+                            lambda o: F.struct(
+                                m["id"].alias("id_a"), o["id"].alias("id_b"),
+                                m["sig"].alias("sig_a"), o["sig"].alias("sig_b"),
+                            ),
+                        ),
+                    )
+                ),
+                lambda p: p["id_a"] < p["id_b"],
+            )
+        ).alias("p")
+    ).select("p.*")
+
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z))
+        / F.lit(num_perm)
+    )
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+        .distinct()
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative per exact content hash; never shuffles text."""
+    h = F.xxhash64(F.col(text_col))
+    return (
+        df.select(h.alias("content_hash"), F.col(id_col).alias("id"))
+        .groupBy("content_hash")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def make_simhash_udf(seed: int = 42):
+    """pandas UDF: text → 64-bit SimHash over word hashes (vectorized)."""
+
+    @pandas_udf("long")
+    def simhash64(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            words = (t or "").lower().split()
+            if not words:
+                continue
+            hs = np.array(
+                [hash_word(w) for w in words], dtype=np.uint64
+            )
+            bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            score = bits.sum(axis=0) * 2 - len(words)  # +1/-1 vote per bit
+            sh_bits = (score > 0).astype(np.uint8)
+            sh = np.packbits(sh_bits, bitorder="little").view(np.uint64)[0]
+            out.view(np.uint64)[i] = sh  # wraparound into signed storage
+        return pd.Series(out)
+
+    def hash_word(w: str) -> int:
+        h = 1469598103934665603  # FNV-1a 64, wraparound in python ints
+        for ch in w.encode("utf-8", "ignore"):
+            h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    return simhash64
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3, max_bucket: int = 64,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into ``max_hamming + 1`` bands; any pair
+    within distance k must agree exactly on ≥1 band.
+    """
+    sh = make_simhash_udf()
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    sigs = df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("sh"))
+    band = [
+        F.shiftrightunsigned(F.col("sh"), bi * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        ).alias(f"band{bi}")
+        for bi in range(n_bands)
+    ]
+    banded = sigs.select("id", "sh", F.posexplode(F.array(*band)).alias("bi", "bh"))
+    grouped = banded.groupBy("bi", "bh").agg(
+        F.collect_list(F.struct("id", "sh")).alias("members")
+    ).where((F.size("members") > 1) & (F.size("members") <= max_bucket))
+    pairs = grouped.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "members",
+                        lambda m, i: F.transform(
+                            F.slice("members", i + 2, F.size("members")),
+                            lambda o: F.struct(
+                                m["id"].alias("id_a"), o["id"].alias("id_b"),
+                                m["sh"].alias("sh_a"), o["sh"].alias("sh_b"),
+                            ),
+                        ),
+                    )
+                ),
+                lambda p: p["id_a"] < p["id_b"],
+            )
+        ).alias("p")
+    ).select("p.*")
+    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", dist)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for candidate pairs (verification stage)."""
+    grams = F.transform(
+        F.sequence(
+            F.lit(0), F.greatest(F.size(F.split(F.col(text_col), r"\s+")) - n, F.lit(0))
+        ),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.split(F.col(text_col), r"\s+"), i + 1, n)
+        ),
+    )
+    g = df.select(F.col(id_col).alias("id"), F.array_distinct(grams).alias("grams"))
+    joined = (
+        pairs.join(g.withColumnRenamed("grams", "ga"), pairs.id_a == g.id)
+        .drop("id")
+        .join(
+            g.withColumnRenamed("grams", "gb").withColumnRenamed("id", "id2"),
+            F.col("id_b") == F.col("id2"),
+        )
+        .drop("id2")
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    return joined.select(
+        "id_a", "id_b",
+        F.round(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
+    )

@@ -1,0 +1,136 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+* :func:`brute_force_topk` — exact cosine top-k, pure Spark expressions
+  (``zip_with`` dot product inside codegen) with a broadcast query vector;
+  the correctness baseline and the small-k/large-cluster workhorse.
+* :func:`ivf_topk` — IVF-style ANN: seeded numpy k-means on a driver-side
+  sample builds a small centroid codebook (broadcast), every vector is
+  assigned to its nearest centroid map-side (vectorized pandas UDF matmul),
+  and a query probes only ``n_probe`` nearest centroid partitions — the
+  scan shrinks by ~n_centroids/n_probe at 100 TB.
+* :func:`lsh_bucket_topk` — random-hyperplane LSH variant: sign-bit bucket
+  per vector; query proves its own bucket (exactness traded for a single
+  hash-partition lookup).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                       lambda acc, x: acc + x)
+
+
+def _norm(c):
+    return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0),
+                              lambda acc, x: acc + x))
+
+
+def cosine_sim(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    emb = F.col(vec_col).cast("array<double>")
+    return (
+        df.select(F.col(id_col), F.round(cosine_sim(emb, q), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _kmeans(sample: np.ndarray, n_centroids: int, iters: int = 8,
+            seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    cents = sample[idx].copy()
+    for _ in range(iters):
+        d = sample @ cents.T  # cosine-ish on normalized data
+        assign = d.argmax(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cents[c] = v / nv
+    return cents
+
+
+def train_ivf(df: DataFrame, n_centroids: int = 16, vec_col: str = "embedding",
+              sample_rows: int = 4096, seed: int = 42) -> np.ndarray:
+    """Driver-side seeded k-means codebook from a bounded sample."""
+    sample = np.array(
+        df.select(vec_col).limit(sample_rows).toPandas()[vec_col].to_list(),
+        dtype=np.float64,
+    )
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1
+    return _kmeans(sample / norms, n_centroids, seed=seed)
+
+
+def assign_centroids(df: DataFrame, centroids: np.ndarray,
+                     vec_col: str = "embedding") -> DataFrame:
+    """Map-side centroid assignment (vectorized matmul, Arrow-batched)."""
+    cents = centroids
+
+    @pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.to_list(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1
+        return pd.Series((m / norms @ cents.T).argmax(axis=1).astype(np.int32))
+
+    return df.withColumn("centroid", nearest(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10, n_centroids: int = 16,
+    n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    if centroids is None:
+        centroids = train_ivf(df, n_centroids, vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probes = [int(c) for c in (centroids @ qn).argsort()[::-1][:n_probe]]
+    assigned = assign_centroids(df, centroids, vec_col)
+    return brute_force_topk(
+        assigned.where(F.col("centroid").isin(probes)), query_vec, k,
+        id_col, vec_col,
+    )
+
+
+def lsh_bucket_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10, n_planes: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    if dim is None:
+        dim = len(query_vec)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    @pandas_udf("int")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.to_list(), dtype=np.float64)
+        bits = (m @ planes.T) > 0
+        return pd.Series(
+            (bits @ (1 << np.arange(n_planes))).astype(np.int32)
+        )
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qb = int(((planes @ q) > 0) @ (1 << np.arange(n_planes)))
+    return brute_force_topk(
+        df.withColumn("bucket", bucket(F.col(vec_col))).where(F.col("bucket") == qb),
+        query_vec, k, id_col, vec_col,
+    )

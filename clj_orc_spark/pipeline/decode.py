@@ -67,7 +67,9 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None):
     from pyspark.sql import functions as F
 
     chunks_dir = os.path.join(out_dir, "chunks")
-    if not os.path.isdir(chunks_dir):  # empty run wrote no chunks
+    from .encode import _has_parquet
+
+    if not _has_parquet(chunks_dir):  # empty run wrote no chunks
         return spark.createDataFrame([], TOKEN_DDL)
     chunks = spark.read.parquet(chunks_dir)
     if part_ids is not None:

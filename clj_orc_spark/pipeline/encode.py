@@ -38,7 +38,7 @@ import pyarrow as pa
 
 from ..kernels import StringCol, crc32
 from ..selector import encode_column
-from .skew import plan_partitions
+from .skew import apply_plan, compute_plan
 
 DEFAULT_CHUNK_BYTES = 8 << 20  # raw token bytes per chunk (byte-limit analog)
 TARGET_PART_BYTES = 64 << 20  # raw bytes per partition (scale knob)
@@ -185,6 +185,47 @@ def _default_n_partitions(spark, df, input_path: str | None) -> int:
     return spark.sparkContext.defaultParallelism * 2
 
 
+def _input_row_count(input_path: str | None) -> int | None:
+    """Row count from parquet footers — no Spark job."""
+    if input_path is None:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for root, _, files in os.walk(input_path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.read_metadata(os.path.join(root, f)).num_rows
+        if os.path.isfile(input_path):
+            total = pq.read_metadata(input_path).num_rows
+        return total or None
+    except Exception:
+        return None
+
+
+def _load_or_compute_plan(spark, df, out_dir: str, n_partitions: int,
+                          input_path: str | None) -> dict:
+    """Plan once, persist, reuse — resumed runs must assign identical
+    part_ids or per-partition lineage is meaningless."""
+    plan_path = os.path.join(out_dir, "plan.json")
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            return json.load(f)
+    plan = compute_plan(df, n_partitions, total_rows=_input_row_count(input_path))
+    os.makedirs(out_dir, exist_ok=True)
+    with open(plan_path, "w") as f:
+        json.dump(plan, f)
+    return plan
+
+
+def _has_parquet(path: str) -> bool:
+    for root, _, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def completed_part_ids(spark, out_dir: str) -> set[int]:
     parts_dir = os.path.join(out_dir, "manifest", "parts")
     if not os.path.isdir(parts_dir):
@@ -220,7 +261,9 @@ def encode(
         n_partitions = _default_n_partitions(spark, df, input_path)
 
     t0 = time.time()
-    planned, n_total = plan_partitions(df, n_partitions)
+    plan = _load_or_compute_plan(spark, df, out_dir, n_partitions, input_path)
+    planned = apply_plan(df, plan)
+    n_total = plan["n_total"]
 
     done = completed_part_ids(spark, out_dir) if resume else set()
     pending = [p for p in range(n_total) if p not in done]
@@ -240,10 +283,26 @@ def encode(
     )
     chunks_dir = os.path.join(out_dir, "chunks")
     (
-        encoded.write.mode("overwrite")  # dynamic: only touched part dirs
+        encoded.write.mode("overwrite")
+        # writer-level option, NOT session conf: a caller-owned session
+        # without the conf would static-overwrite and silently destroy
+        # completed partitions on resume
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("part_id")
         .parquet(chunks_dir)
     )
+
+    if not _has_parquet(chunks_dir):
+        # zero rows pending (empty input): mark parts complete, no chunks
+        parts = spark.createDataFrame(
+            [(p, 0, 0, 0, 0, "complete", time.time()) for p in pending],
+            "part_id int, n_chunks long, n_rows long, enc_bytes long,"
+            " raw_bytes long, status string, completed_at double",
+        )
+        parts.write.mode("append").parquet(os.path.join(out_dir, "manifest", "parts"))
+        return {"n_partitions": n_total, "pending": len(pending),
+                "skipped": len(done), "chunk_bytes": chunk_bytes,
+                "wall_sec": time.time() - t0}
 
     # manifest: chunk records (payload pruned — parquet column pruning makes
     # this read cheap) + per-partition completion markers, appended last so a

@@ -22,9 +22,99 @@ from __future__ import annotations
 
 from functools import reduce
 
+import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 DEFAULT_N_BUCKETS = 8
+PLAN_SAMPLE_ROWS = 400_000
+
+
+def compute_plan(
+    df: DataFrame,
+    n_partitions: int,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    length_col: str = "n_tok",
+    total_rows: int | None = None,
+    seed: int = 42,
+) -> dict:
+    """One sampled pass → JSON-able partition plan (bounds, offsets, allocs).
+
+    The plan is persisted alongside the manifest (encode.py) so resumed runs
+    reuse the exact same part_id assignment — plan determinism is what makes
+    per-partition lineage sound.  At 10^12 rows a full quantile pass would be
+    its own job; a seeded sample of ~400k lengths (a few MB on the driver) is
+    statistically plenty for 8 quantile buckets.
+    """
+    n_partitions = max(1, n_partitions)
+    lengths_df = df.select(length_col)
+    if total_rows is not None and total_rows > PLAN_SAMPLE_ROWS:
+        lengths_df = lengths_df.sample(
+            fraction=min(1.0, PLAN_SAMPLE_ROWS * 1.25 / total_rows), seed=seed
+        )
+    lengths = np.array([r[0] for r in lengths_df.collect()], dtype=np.float64)
+    if len(lengths) == 0:
+        return {"bounds": [], "offsets": [0], "allocs": [1], "n_total": 1}
+
+    probs = [100.0 * i / n_buckets for i in range(1, n_buckets)]
+    bounds = list(np.percentile(lengths, probs))
+    uniq_bounds: list[float] = []
+    for b in bounds:
+        if not uniq_bounds or b > uniq_bounds[-1]:
+            uniq_bounds.append(float(b))
+
+    # token share per bucket from the same sample
+    which = np.searchsorted(np.array(uniq_bounds), lengths, side="left")
+    n_b = len(uniq_bounds) + 1
+    shares = np.zeros(n_b)
+    for b in range(n_b):
+        shares[b] = lengths[which == b].sum()
+    total = shares.sum() or 1.0
+
+    allocs, offsets, cum = [], [], 0
+    for b in range(n_b):
+        k = max(1, round(n_partitions * shares[b] / total)) if shares[b] > 0 else 1
+        offsets.append(cum)
+        allocs.append(k)
+        cum += k
+    return {
+        "bounds": uniq_bounds,
+        "offsets": offsets,
+        "allocs": allocs,
+        "n_total": cum,
+    }
+
+
+def apply_plan(
+    df: DataFrame,
+    plan: dict,
+    length_col: str = "n_tok",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Attach the deterministic ``part_id`` column from a computed plan."""
+    bounds = plan["bounds"]
+    bucket_expr = reduce(
+        lambda acc, ib: acc.when(F.col(length_col) <= F.lit(ib[1]), F.lit(ib[0])),
+        enumerate(bounds),
+        F.when(F.lit(False), F.lit(0)),
+    ).otherwise(F.lit(len(bounds)))
+    offset_expr = reduce(
+        lambda acc, b: acc.when(F.col("_bucket") == b, F.lit(plan["offsets"][b])),
+        range(len(plan["allocs"])),
+        F.when(F.lit(False), F.lit(0)),
+    ).otherwise(F.lit(0))
+    nparts_expr = reduce(
+        lambda acc, b: acc.when(F.col("_bucket") == b, F.lit(plan["allocs"][b])),
+        range(len(plan["allocs"])),
+        F.when(F.lit(False), F.lit(1)),
+    ).otherwise(F.lit(1))
+    return (
+        df.withColumn("_bucket", bucket_expr.cast("int"))
+        .withColumn(
+            "part_id",
+            (offset_expr + F.pmod(F.xxhash64(F.col(key_col)), nparts_expr)).cast("int"),
+        )
+        .drop("_bucket")
+    )
 
 
 def plan_partitions(
@@ -33,56 +123,11 @@ def plan_partitions(
     n_buckets: int = DEFAULT_N_BUCKETS,
     length_col: str = "n_tok",
     key_col: str = "doc_id",
+    total_rows: int | None = None,
 ) -> tuple[DataFrame, int]:
-    """Add a deterministic ``part_id`` column balancing total tokens/partition."""
-    n_partitions = max(1, n_partitions)
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = df.stat.approxQuantile(length_col, probs, 0.01)
-    # dedupe boundaries (degenerate distributions)
-    uniq_bounds: list[float] = []
-    for b in bounds:
-        if not uniq_bounds or b > uniq_bounds[-1]:
-            uniq_bounds.append(b)
-
-    bucket_expr = reduce(
-        lambda acc, ib: acc.when(F.col(length_col) <= F.lit(ib[1]), F.lit(ib[0])),
-        enumerate(uniq_bounds),
-        F.when(F.lit(False), F.lit(0)),
-    ).otherwise(F.lit(len(uniq_bounds)))
-    with_bucket = df.withColumn("_bucket", bucket_expr.cast("int"))
-
-    shares = (
-        with_bucket.groupBy("_bucket").agg(F.sum(length_col).alias("_toks")).collect()
-    )
-    total_toks = sum(r["_toks"] for r in shares) or 1
-    # allocate ≥1 partition per non-empty bucket, proportional to token share
-    alloc: dict[int, int] = {}
-    for r in sorted(shares, key=lambda r: r["_bucket"]):
-        alloc[r["_bucket"]] = max(1, round(n_partitions * r["_toks"] / total_toks))
-    offsets: dict[int, int] = {}
-    cum = 0
-    for b in sorted(alloc):
-        offsets[b] = cum
-        cum += alloc[b]
-
-    offset_expr = reduce(
-        lambda acc, b: acc.when(F.col("_bucket") == b, F.lit(offsets[b])),
-        sorted(alloc),
-        F.when(F.lit(False), F.lit(0)),
-    ).otherwise(F.lit(0))
-    nparts_expr = reduce(
-        lambda acc, b: acc.when(F.col("_bucket") == b, F.lit(alloc[b])),
-        sorted(alloc),
-        F.when(F.lit(False), F.lit(1)),
-    ).otherwise(F.lit(1))
-
-    return (
-        with_bucket.withColumn(
-            "part_id",
-            (offset_expr + F.pmod(F.xxhash64(F.col(key_col)), nparts_expr)).cast("int"),
-        )
-        .drop("_bucket")
-    ), cum
+    """compute_plan + apply_plan in one call (tests / ad-hoc use)."""
+    plan = compute_plan(df, n_partitions, n_buckets, length_col, total_rows)
+    return apply_plan(df, plan, length_col, key_col), plan["n_total"]
 
 
 def partition_balance_report(df: DataFrame, length_col: str = "n_tok") -> dict:

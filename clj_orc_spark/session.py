@@ -15,6 +15,21 @@ from pyspark.sql import SparkSession
 ARROW_BATCH_ROWS = 4096  # rows per Arrow batch crossing the JVM↔Python boundary
 
 
+def _local_dir() -> str:
+    """Shuffle/spill scratch dir.  Prefer RAM-backed /dev/shm when present:
+    on a real cluster every node brings its own NVMe, so shuffle bandwidth
+    scales with cluster size — a single shared disk in this sandbox would
+    serialize it and misrepresent scaling.  Override: SPARK_LOCAL_DIRS."""
+    env = os.environ.get("SPARK_LOCAL_DIRS")
+    if env:
+        return env
+    if os.path.isdir("/dev/shm"):
+        d = "/dev/shm/clj-orc-spark-local"
+        os.makedirs(d, exist_ok=True)
+        return d
+    return "/tmp"
+
+
 def package_zip() -> str:
     """Zip this package for worker shipment (the --py-files artifact).
 
@@ -56,6 +71,7 @@ def get_spark(master: str | None = None, app_name: str = "clj-orc-spark") -> Spa
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.files.maxPartitionBytes", str(32 << 20))
+        .config("spark.local.dir", _local_dir())
         .config("spark.sql.parquet.compression.codec", "uncompressed")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

@@ -1,0 +1,9 @@
+"""Sources: ORC reader + reference stream-protocol parity shims (S1–S5, J1–J5)."""
+
+from .orc import (  # noqa: F401
+    apply_hadoop_conf,
+    configure,
+    json_stream,
+    read_orc,
+    read_stream,
+)

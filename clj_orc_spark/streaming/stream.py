@@ -1,0 +1,113 @@
+"""Streaming surfaces.
+
+The reference's "streaming" is chunked iteration over a bounded channel with
+backpressure (`src/orc/read.clj:75,101-103`, `src/orc/json.clj:48-101`) — a
+producer thread pushing numbered chunks to one consumer.  The Spark-native
+equivalents:
+
+* :func:`stream_decode` — Structured Streaming over the encoded ``chunks/``
+  directory: chunk files land → micro-batch decodes them → token rows flow to
+  the sink.  Backpressure = ``maxFilesPerTrigger`` (the ``buf-size`` analog,
+  `src/orc/read.clj:16`); ordering = ``chunk_id`` (the ``{:i n}`` payload
+  index analog, `src/orc/read.clj:94`).  Chunk atomicity: a chunk's five
+  column rows are always written inside one parquet file by the encoder task,
+  and the file-source assigns whole files to micro-batches.
+* :func:`windowed_event_counts` — event-time tumbling-window aggregation with
+  a watermark for late data: the standard streaming-analytics surface the
+  reference lacks entirely (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def stream_decode(
+    spark,
+    out_dir: str,
+    sink_dir: str,
+    max_files_per_trigger: int = 8,
+    available_now: bool = True,
+):
+    """Continuously decode encoded chunks as they land; returns the query.
+
+    ``foreachBatch`` reuses the exact batch decode kernel path; each
+    micro-batch groups its complete chunks and appends decoded token rows to
+    ``sink_dir`` as parquet.
+    """
+    from ..pipeline.decode import TOKEN_DDL, decode_chunk_table
+
+    chunks_dir = os.path.join(out_dir, "chunks")
+    static_schema = spark.read.parquet(chunks_dir).schema
+
+    stream = (
+        spark.readStream.schema(static_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(chunks_dir)
+    )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import pyarrow as pa
+
+        def decode_group(tbl: pa.Table) -> pa.Table:
+            return decode_chunk_table(tbl)
+
+        decoded = batch_df.groupBy("chunk_id").applyInArrow(decode_group, TOKEN_DDL)
+        decoded.write.mode("append").parquet(sink_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", os.path.join(sink_dir, "_checkpoint"))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Event-time tumbling window counts with late-data watermark.
+
+    Works on both a static DataFrame (tests/oracle parity) and a streaming
+    one (``spark.readStream``) — same plan, Catalyst handles both.
+    """
+    # parquet timestamp[us] loads as TIMESTAMP_NTZ; watermarks need TIMESTAMP
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 3).alias("value_sum"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            key_col,
+            "cnt",
+            "value_sum",
+        )
+    )
+
+
+def stream_events_from_dir(
+    spark, events_dir: str, sink_table: str = "windowed_counts",
+    window: str = "1 hour", watermark: str = "2 hours",
+):
+    """readStream → windowed agg → in-memory sink (demo/test harness)."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    agg = windowed_event_counts(stream, window, watermark)
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_table)
+        .trigger(availableNow=True)
+        .start()
+    )

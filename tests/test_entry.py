@@ -76,4 +76,7 @@ def test_oracle_keys_subset_of_queries():
     qs, os_ = set(entry_mod.queries()), set(entry_mod.oracle_sql())
     assert os_ <= qs
     # non-SQL ops are known and intentional
-    assert qs - os_ == {"encode_roundtrip", "codec_manifest"}
+    assert qs - os_ == {
+        "encode_roundtrip", "codec_manifest", "minhash_dedup", "simhash_dedup",
+        "lang_id", "ivf_ann", "quality_filter",
+    }

@@ -46,6 +46,23 @@ def test_resume_skips_completed_partitions(spark, token_table_dir, tmp_dir):
     assert r3["pending"] == 0
 
 
+def test_resume_survives_static_overwrite_session(spark, token_table_dir, tmp_dir):
+    """Regression: a caller-owned session with partitionOverwriteMode=static
+    must NOT wipe completed partitions on resume (the writer-level option
+    pins dynamic overwrite; found by driving a plain SparkSession)."""
+    src = os.path.join(token_table_dir, "tokens.parquet")
+    out = os.path.join(tmp_dir, "enc")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        encode(spark, src, out, n_partitions=4, limit_parts=2)
+        encode(spark, src, out, n_partitions=4)
+        v = verify_roundtrip(spark.read.parquet(src), decode(spark, out))
+        assert v["bit_identical"] and v["total"] == 5_000, v
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def test_orphaned_wave_is_overwritten_not_duplicated(spark, token_table_dir, tmp_dir):
     """Crash between chunk write and manifest append → rerun must not
     duplicate rows (dynamic partition overwrite makes the wave idempotent)."""
