@@ -72,6 +72,9 @@ def get_spark(master: str | None = None, app_name: str = "clj-orc-spark") -> Spa
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.files.maxPartitionBytes", str(32 << 20))
         .config("spark.local.dir", _local_dir())
+        # vectorized parquet read for array<int32> token columns (off by
+        # default; measured ~20% scan win on the 10.6 GB token table)
+        .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
         .config("spark.sql.parquet.compression.codec", "uncompressed")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

@@ -20,8 +20,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_CORES = 8
-N4_CORES = 32
+N_CORES = 8   # overridable via --n
+N4_CORES = 32  # overridable via --n4
 
 
 def run_encode(cores: int, src_path: str, rep: int) -> dict:
@@ -62,8 +62,14 @@ def run_encode(cores: int, src_path: str, rep: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=4_000_000)
+    ap.add_argument("--n", type=int, default=None)
+    ap.add_argument("--n4", type=int, default=None)
     ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
+    global N_CORES, N4_CORES
+    if args.n: N_CORES = args.n
+    if args.n4: N4_CORES = args.n4
+    assert N4_CORES == 4 * N_CORES, "levels must be N and 4N"
 
     from clj_orc_spark.datagen import write_token_table
 
@@ -71,17 +77,23 @@ def main() -> None:
     info = write_token_table(table_dir, args.rows, seed=42, with_orc_reference=False)
     src = info["parquet"]
 
+    # warmup (page cache + JVM/daemon startup), not recorded
+    run_encode(N4_CORES, src, 99)
+
+    # interleave levels so environment drift (shared sandbox) hits both
     runs = []
-    for cores in (N_CORES, N4_CORES):
-        for rep in range(args.reps):
+    for rep in range(args.reps):
+        for cores in (N_CORES, N4_CORES):
             r = run_encode(cores, src, rep)
             print(json.dumps(r), flush=True)
             runs.append(r)
 
-    best = {
-        c: max((r for r in runs if r["cores"] == c), key=lambda r: r["tokens_per_sec"])
-        for c in (N_CORES, N4_CORES)
-    }
+    def median_run(cores: int) -> dict:
+        rs = sorted((r for r in runs if r["cores"] == cores),
+                    key=lambda r: r["tokens_per_sec"])
+        return rs[len(rs) // 2]
+
+    best = {c: median_run(c) for c in (N_CORES, N4_CORES)}
     eff = best[N4_CORES]["tokens_per_sec"] / (
         (N4_CORES / N_CORES) * best[N_CORES]["tokens_per_sec"]
     )
@@ -104,7 +116,12 @@ Same encode job (plan → salted repartition → mapInArrow encode → chunk+man
 write) on the same {args.rows:,}-row deterministic token table
 ({best[N4_CORES]['tokens']:,} tokens), run at two parallelism levels as the
 sandbox stand-in for N vs 4N executor clusters (single machine, local mode;
-wall-clock variance on this box is high, best of {args.reps} reps reported).
+this shared sandbox shows heavy neighbor noise — identical runs have varied
+up to 3x — so levels are interleaved, a warmup run precedes measurement, and
+the MEDIAN of {args.reps} reps per level is reported).  Single-box caveats
+that do not exist on a real 4N cluster: all levels share one memory bus and
+one page cache, and the 4N level shares its 32 hardware threads with the
+JVM's own shuffle/GC threads while the N level has 24 spare.
 
 | cluster size | wall (s) | tokens/s | GB/s (raw) |
 |---|---|---|---|

@@ -66,6 +66,19 @@ def test_empty_table(spark, tmp_dir):
     assert decode(spark, out).count() == 0
 
 
+def test_decode_modes_agree(spark, token_table_dir, tmp_dir):
+    """files-mode (no-shuffle scale path) ≡ shuffle-mode (groupBy fallback)."""
+    out = os.path.join(tmp_dir, "enc")
+    encode(spark, os.path.join(token_table_dir, "tokens.parquet"), out,
+           n_partitions=4)
+    a = decode(spark, out, mode="files")
+    b = decode(spark, out, mode="shuffle")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # part_id pruning decodes only the requested partitions
+    part = decode(spark, out, part_ids=[0], mode="files")
+    assert 0 < part.count() < a.count()
+
+
 def test_manifest_records_selections(spark, token_table_dir, tmp_dir):
     out = os.path.join(tmp_dir, "enc")
     encode(spark, os.path.join(token_table_dir, "tokens.parquet"), out,
