@@ -61,8 +61,7 @@ def int_stats(arr: np.ndarray) -> dict:
                 "patched_cost": 0, "patched_width": None}
     a64 = arr.astype(np.int64, copy=False)
     lo, hi = int(a64.min()), int(a64.max())
-    for_width = bit_width(int((np.int64(hi).view(np.uint64)
-                               - np.int64(lo).view(np.uint64))))
+    for_width = bit_width(hi - lo)  # python ints: exact for any int64 range
 
     s64, scale = _contiguous_sample(a64, INT_SAMPLE)
     sn = len(s64)

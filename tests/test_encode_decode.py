@@ -56,6 +56,20 @@ def test_chunk_boundaries(spark, tmp_dir, n_rows, chunk_bytes):
     assert v["bit_identical"] and v["total"] == n_rows, v
 
 
+def test_manifest_scan_prunes_payload(spark, token_table_dir, tmp_dir):
+    """Manifest reads must not drag encoded payloads through the scan —
+    column pruning reaches the parquet reader (plan-level assertion)."""
+    from clj_orc_spark.plans import assert_columns_pruned
+
+    out = os.path.join(tmp_dir, "enc")
+    encode(spark, os.path.join(token_table_dir, "tokens.parquet"), out,
+           n_partitions=2)
+    m = spark.read.parquet(os.path.join(out, "chunks")).select(
+        "chunk_id", "col", "codec", "enc_bytes"
+    )
+    assert_columns_pruned(m, ["chunk_id", "enc_bytes"], ["payload", "meta"])
+
+
 def test_empty_table(spark, tmp_dir):
     import pyarrow.parquet as pq
 

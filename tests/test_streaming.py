@@ -23,6 +23,46 @@ def test_stream_decode_matches_source(spark, token_table_dir, tmp_dir):
     assert v["bit_identical"] and v["total"] == 5_000, v
 
 
+def test_stateful_running_totals(spark, tmp_dir):
+    """applyInPandasWithState carries keyed state across micro-batches:
+    with one file per trigger, the final update row per key must equal the
+    whole-dataset aggregate."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from clj_orc_spark.streaming import stream_running_totals
+
+    # split events into 3 files -> 3 micro-batches
+    events_dir = os.path.join(tmp_dir, "ev")
+    os.makedirs(events_dir)
+    t = pq.read_table("/root/testdata/sf0.01/events.parquet")
+    n = t.num_rows
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]):
+        pq.write_table(t.slice(lo, hi - lo), os.path.join(events_dir, f"p{i}.parquet"))
+
+    q = stream_running_totals(spark, events_dir, sink_table="rt_test")
+    q.awaitTermination(180)
+    updates = spark.table("rt_test").toPandas()
+    # multiple update rows per key (state really crossed batches)
+    assert updates.groupby("event_type").size().max() >= 2
+    final = updates.groupby("event_type").last()
+
+    from pyspark.sql import functions as F
+
+    expected = {
+        r["event_type"]: (r["cnt"], r["vsum"])
+        for r in spark.read.parquet(events_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 3).alias("vsum"))
+        .collect()
+    }
+    for et, (cnt, vsum) in expected.items():
+        assert final.loc[et, "running_cnt"] == cnt, et
+        assert abs(final.loc[et, "running_sum"] - vsum) < 1e-6, et
+
+
 def test_windowed_event_counts(spark, tmp_dir):
     # the file stream source needs a directory of files
     events_dir = os.path.join(tmp_dir, "events")
