@@ -121,6 +121,21 @@ class ForBitpack:
         return packed_nbytes(stats["n"], stats["for_width"])
 
 
+def encode_int_sub(arr: np.ndarray) -> tuple[bytes, dict]:
+    """Encode a sub-stream with the cheaper of ForBitpack / PatchedFor.
+
+    Shared by RLE/delta/dict sub-streams and by PatchedFor's own recursive
+    exception encoding (zipfian exception high-bits are themselves skewed)."""
+    p1, m1 = ForBitpack.encode(arr)
+    p2, m2 = PatchedFor.encode(arr)
+    return (p1, m1) if len(p1) <= len(p2) else (p2, m2)
+
+
+def decode_int_sub(payload: bytes, meta: dict) -> np.ndarray:
+    codec = ForBitpack if meta["codec"] == ForBitpack.name else PatchedFor
+    return codec.decode(payload, meta)
+
+
 @register("int")
 class PatchedFor:
     """FOR bit-pack with exceptions (ORC RLEv2 patched-base analog).
@@ -207,16 +222,29 @@ class PatchedFor:
             pos_section = np.packbits(exc_mask, bitorder="little").tobytes()
         else:
             pos_section = pack_bits(exc_idx.astype(np.uint64), pos_w)
-        payload, sections = pack_sections(
-            pack_bits(base, w),
-            pos_section,
-            pack_bits(res[exc_idx] >> np.uint64(w), full - w),
-        )
+        hi_vals = res[exc_idx] >> np.uint64(w)
+        hi_meta = None
+        hi_section = None
+        # recursive exception encoding — only when the high-bits histogram
+        # says it wins ≥5% (on zipf tails each octave is near-uniform and
+        # flat is already optimal; recursing anyway cost 4x encode time for
+        # zero bytes, measured)
+        if 0 < w and full - w < 63 and len(exc_idx) >= 4096:
+            hi_full = full - w
+            hi_counts = np.bincount(bit_lengths(hi_vals), minlength=hi_full + 1)
+            _, est = cls.best_width_from_hist(hi_counts, len(exc_idx), hi_full)
+            flat_cost = packed_nbytes(len(exc_idx), hi_full)
+            if est < flat_cost * 0.95:
+                hi_section, hi_meta = cls.encode(hi_vals.astype(np.int64))
+        if hi_section is None:
+            hi_section = pack_bits(hi_vals, full - w)
+        payload, sections = pack_sections(pack_bits(base, w), pos_section, hi_section)
         return payload, {
             "codec": cls.name, "n": n, "dtype": dtype, "ref": ref,
             "width": w, "full_width": full, "pos_width": pos_w,
             "pos_kind": "bitmap" if use_bitmap else "indices",
             "n_exc": int(len(exc_idx)), "sections": sections,
+            "hi": hi_meta,
         }
 
     @classmethod
@@ -235,7 +263,10 @@ class PatchedFor:
                 idx = np.flatnonzero(bits)
             else:
                 idx = unpack_bits(pos_b, meta["pos_width"], n_exc).astype(np.int64)
-            hi = unpack_bits(hi_b, meta["full_width"] - meta["width"], n_exc)
+            if meta.get("hi"):
+                hi = decode_int_sub(hi_b, meta["hi"]).astype(np.int64).view(np.uint64)
+            else:
+                hi = unpack_bits(hi_b, meta["full_width"] - meta["width"], n_exc)
             res[idx] |= hi << np.uint64(meta["width"])
         return from_unsigned_residuals(res, meta["ref"], meta["dtype"])
 

@@ -12,19 +12,12 @@ from __future__ import annotations
 import numpy as np
 
 from .base import pack_sections, register, split_sections
-from .bitpack import ForBitpack, PatchedFor, packed_nbytes
+from .bitpack import decode_int_sub, encode_int_sub, packed_nbytes
 
-
-def _encode_int_sub(arr: np.ndarray) -> tuple[bytes, dict]:
-    """Encode a sub-stream with the cheaper of ForBitpack / PatchedFor."""
-    p1, m1 = ForBitpack.encode(arr)
-    p2, m2 = PatchedFor.encode(arr)
-    return (p1, m1) if len(p1) <= len(p2) else (p2, m2)
-
-
-def _decode_int_sub(payload: bytes, meta: dict) -> np.ndarray:
-    codec = ForBitpack if meta["codec"] == ForBitpack.name else PatchedFor
-    return codec.decode(payload, meta)
+# sub-stream helpers live in bitpack (shared with PatchedFor's recursive
+# exception encoding); keep the private aliases for existing importers
+_encode_int_sub = encode_int_sub
+_decode_int_sub = decode_int_sub
 
 
 def run_starts(arr: np.ndarray) -> np.ndarray:
