@@ -176,9 +176,12 @@ def make_encoder(chunk_bytes: int = DEFAULT_CHUNK_BYTES):
 
 def _default_n_partitions(spark, df, input_path: str | None) -> int:
     if input_path is not None:
-        total = 0
-        for root, _, files in os.walk(input_path):
-            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        if os.path.isfile(input_path):
+            total = os.path.getsize(input_path)
+        else:
+            total = 0
+            for root, _, files in os.walk(input_path):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
         if total:
             # parquet is ~2x lighter than raw token bytes on this data
             return max(1, int(total * 2 // TARGET_PART_BYTES))
