@@ -450,11 +450,13 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY event_type"
         ),
         "byte_count": (
-            "SELECT source, sum(strlen(text)) AS total_bytes, count(*) AS n_docs"
+            "SELECT source, CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,"
+            " count(*) AS n_docs"
             " FROM documents GROUP BY source"
         ),
         "json_chunks": (
-            "SELECT chunk_id, count(*) AS n_docs, sum(nbytes) AS chunk_bytes FROM ("
+            "SELECT chunk_id, count(*) AS n_docs,"
+            " CAST(sum(nbytes) AS BIGINT) AS chunk_bytes FROM ("
             "  SELECT doc_id, strlen(text) AS nbytes,"
             "  CAST(floor((sum(strlen(text)) OVER (ORDER BY doc_id"
             "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 65536)"
@@ -462,12 +464,14 @@ def oracle_sql() -> dict[str, str]:
             "  FROM documents) GROUP BY chunk_id"
         ),
         "rollup_metrics": (
-            "SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars,"
+            "SELECT source, lang, count(*) AS n_docs,"
+            " CAST(sum(n_chars) AS BIGINT) AS total_chars,"
             " round(avg(n_chars), 3) AS avg_chars"
             " FROM documents GROUP BY source, lang"
         ),
         "length_buckets": (
-            "SELECT bucket, count(*) AS n_docs, sum(n_chars) AS chars FROM ("
+            "SELECT bucket, count(*) AS n_docs,"
+            " CAST(sum(n_chars) AS BIGINT) AS chars FROM ("
             "  SELECT CAST(CASE WHEN n_chars <= 250 THEN 0"
             "   WHEN n_chars <= 500 THEN 1 WHEN n_chars <= 1000 THEN 2"
             "   WHEN n_chars <= 2000 THEN 3 ELSE 4 END AS INT) AS bucket, n_chars"
@@ -478,7 +482,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents GROUP BY md5(text) HAVING count(*) > 1"
         ),
         "word_count": (
-            "SELECT lang, sum(n_words) AS total_words,"
+            "SELECT lang, CAST(sum(n_words) AS BIGINT) AS total_words,"
             " round(avg(n_words), 3) AS avg_words FROM ("
             "  SELECT lang, CAST(length(text) - length(replace(text, ' ', ''))"
             "   + 1 AS BIGINT) AS n_words FROM documents)"
@@ -531,11 +535,58 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_count_bpe": (
             "SELECT source,"
-            " sum(length(regexp_extract_all(text, '\\w+|[^\\w\\s]')))"
-            "  AS total_tokens, count(*) AS n_docs"
+            " CAST(sum(length(regexp_extract_all(text, '\\w+|[^\\w\\s]')))"
+            "  AS BIGINT) AS total_tokens, count(*) AS n_docs"
             " FROM documents GROUP BY source"
         ),
-        # engine-native / heuristic ops (rows-only check): encode_roundtrip,
-        # codec_manifest, minhash_dedup, simhash_dedup, lang_id, ivf_ann,
-        # quality_filter
+        # lang_id mirrors operators/textstats.py:language_id — stopword-set
+        # hit ratios (array_intersect dedups; DuckDB list_intersect matches),
+        # argmax in STOPWORDS order (en, de, fr, es), 'und' when all zero.
+        "lang_id": (
+            "WITH w AS (SELECT lang,"
+            "   string_split_regex(trim(lower(text)), '\\s+') AS ws"
+            "  FROM documents),"
+            " sc AS (SELECT lang,"
+            "  len(list_intersect(ws, ['the','and','of','to','in','is','that',"
+            "   'it','for','was'])) / greatest(len(ws), 1) AS s_en,"
+            "  len(list_intersect(ws, ['der','die','und','das','ist','nicht',"
+            "   'mit','ein','von','zu'])) / greatest(len(ws), 1) AS s_de,"
+            "  len(list_intersect(ws, ['le','la','les','et','de','un','une',"
+            "   'est','que','pour'])) / greatest(len(ws), 1) AS s_fr,"
+            "  len(list_intersect(ws, ['el','la','los','de','que','y','en',"
+            "   'un','una','es'])) / greatest(len(ws), 1) AS s_es"
+            "  FROM w)"
+            " SELECT lang,"
+            "  CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'"
+            "   WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'"
+            "   WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'"
+            "   WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'"
+            "   ELSE 'es' END AS lang_pred,"
+            "  count(*) AS cnt"
+            " FROM sc GROUP BY lang, lang_pred"
+        ),
+        # quality_filter mirrors operators/textstats.py:quality_score —
+        # per-row rounded composite score, averaged per source.
+        "quality_filter": (
+            "WITH f AS (SELECT source,"
+            "   len(string_split_regex(trim(lower(text)), '\\s+')) AS nw,"
+            "   length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))"
+            "    / greatest(length(text), 1) AS punct_ratio,"
+            "   length(regexp_replace(text, '[^0-9]', '', 'g'))"
+            "    / greatest(length(text), 1) AS digit_ratio,"
+            "   length(replace(text, ' ', '')) AS nonspace"
+            "  FROM documents),"
+            " q AS (SELECT source, round(greatest("
+            "   1.0 - least(punct_ratio * 2, 0.4) - least(digit_ratio * 2, 0.3)"
+            "   - CASE WHEN nonspace / greatest(nw, 1) > 12"
+            "      THEN 0.2 ELSE 0.0 END"
+            "   - CASE WHEN nw < 5 THEN 0.3 ELSE 0.0 END,"
+            "   0.0), 4) AS quality FROM f)"
+            " SELECT source, round(avg(quality), 4) AS avg_quality,"
+            "  count(*) AS n_docs"
+            " FROM q GROUP BY source"
+        ),
+        # engine-native / approximate ops (rows-only check): encode_roundtrip,
+        # codec_manifest, minhash_dedup, minhash_verified, simhash_dedup,
+        # ivf_ann
     }
