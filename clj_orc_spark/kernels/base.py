@@ -142,25 +142,34 @@ def crc32(payload: bytes) -> int:
     return zlib.crc32(payload) & 0xFFFFFFFF
 
 
+def _ref_u64(ref: int) -> np.uint64:
+    """Any Python int (negative, or a uint64 beyond int64-max) → its
+    two's-complement uint64 bit pattern."""
+    return np.uint64(int(ref) & 0xFFFFFFFFFFFFFFFF)
+
+
 def as_unsigned_residuals(arr: np.ndarray, ref: int) -> np.ndarray:
-    """``(arr - ref) mod 2**64`` as uint64 — exact for any int64 range.
+    """``(arr - ref) mod 2**64`` as uint64 — exact for any 64-bit range.
 
     Wraparound subtraction keeps frame-of-reference exact even when
-    ``max - min`` overflows int64 (full-range int64 columns).
+    ``max - min`` overflows int64 (full-range int64 or uint64 columns).
     """
-    a = arr.astype(np.int64, copy=False).view(np.uint64)
-    r = np.int64(ref).view(np.uint64) if ref >= np.iinfo(np.int64).min else np.uint64(ref)
-    return a - r  # uint64 wraps mod 2**64
+    if arr.dtype == np.uint64:
+        a = arr
+    else:
+        a = arr.astype(np.int64, copy=False).view(np.uint64)
+    return a - _ref_u64(ref)  # uint64 wraps mod 2**64
 
 
 def from_unsigned_residuals(res: np.ndarray, ref: int, dtype: str) -> np.ndarray:
     """Inverse of :func:`as_unsigned_residuals`, restoring the exact dtype."""
-    base = res + np.int64(ref).view(np.uint64)
-    out = base.view(np.int64)
+    base = res + _ref_u64(ref)  # wraps mod 2**64
     np_dtype = INT_DTYPES[dtype]
     if dtype == "bool":
-        return out.astype(np.bool_)
-    return out.astype(np_dtype)
+        return base.view(np.int64).astype(np.bool_)
+    if dtype == "uint64":
+        return base
+    return base.view(np.int64).astype(np_dtype)
 
 
 # --- registry -----------------------------------------------------------

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .base import register
+from .base import _ref_u64, register
 from .bitpack import packed_nbytes
 from .rle import _decode_int_sub, _encode_int_sub
 
@@ -40,9 +40,11 @@ class Delta:
             return np.empty(0, dtype=meta["dtype"])
         diffs = _decode_int_sub(payload, meta["diffs"]).astype(np.int64).view(np.uint64)
         out = np.empty(n, dtype=np.uint64)
-        out[0] = np.int64(meta["first"]).view(np.uint64)
+        out[0] = _ref_u64(meta["first"])
         np.cumsum(diffs, out=out[1:])
         out[1:] += out[0]
+        if meta["dtype"] == "uint64":
+            return out
         return out.view(np.int64).astype(meta["dtype"], copy=False)
 
     @staticmethod

@@ -72,6 +72,53 @@ def minhash_signatures(
     return df.select(F.col(id_col).alias("id"), mh(F.col(text_col)).alias("sig"))
 
 
+def capped_bucket_pairs(
+    exploded: DataFrame, payload: str, max_bucket: int
+) -> DataFrame:
+    """Within-bucket pairs (bucket key = ``bi``, ``bh``) with the size cap
+    enforced **before** any bucket is materialized.
+
+    A map-side-combined count pass first drops buckets with < 2 or
+    > ``max_bucket`` members; only surviving (small) buckets flow into the
+    ``collect_list`` — so a 10M-member boilerplate bucket costs one counter,
+    never an executor-memory array.  The count agg, the semi-join, and the
+    final groupBy all hash-partition on the same (bi, bh) keys, so the extra
+    pass reuses the shuffle partitioning instead of adding a new exchange
+    shape.  Output columns: id_a, id_b, {payload}_a, {payload}_b.
+    """
+    keys = ["bi", "bh"]
+    small = (
+        exploded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+        .drop("_n")
+    )
+    kept = exploded.join(small, keys)
+    grouped = kept.groupBy(*keys).agg(
+        F.collect_list(F.struct(F.col("id"), F.col(payload))).alias("members")
+    )
+    a, b = f"{payload}_a", f"{payload}_b"
+    return grouped.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "members",
+                        lambda m, i: F.transform(
+                            F.slice("members", i + 2, F.size("members")),
+                            lambda o: F.struct(
+                                m["id"].alias("id_a"), o["id"].alias("id_b"),
+                                m[payload].alias(a), o[payload].alias(b),
+                            ),
+                        ),
+                    )
+                ),
+                lambda p: p["id_a"] < p["id_b"],
+            )
+        ).alias("p")
+    ).select("p.*")
+
+
 def minhash_lsh(
     df: DataFrame,
     text_col: str = "text",
@@ -95,32 +142,9 @@ def minhash_lsh(
     ]
     banded = sigs.select("id", "sig", F.array(*band_cols).alias("bands"))
     exploded = banded.select(
-        "id", "sig", F.posexplode("bands").alias("band_idx", "band_hash")
+        "id", "sig", F.posexplode("bands").alias("bi", "bh")
     )
-    # bucket join: pairs within (band_idx, band_hash); cap bucket size
-    grouped = exploded.groupBy("band_idx", "band_hash").agg(
-        F.collect_list(F.struct("id", "sig")).alias("members")
-    ).where((F.size("members") > 1) & (F.size("members") <= max_bucket))
-
-    pairs = grouped.select(
-        F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        "members",
-                        lambda m, i: F.transform(
-                            F.slice("members", i + 2, F.size("members")),
-                            lambda o: F.struct(
-                                m["id"].alias("id_a"), o["id"].alias("id_b"),
-                                m["sig"].alias("sig_a"), o["sig"].alias("sig_b"),
-                            ),
-                        ),
-                    )
-                ),
-                lambda p: p["id_a"] < p["id_b"],
-            )
-        ).alias("p")
-    ).select("p.*")
+    pairs = capped_bucket_pairs(exploded, "sig", max_bucket)
 
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z))
@@ -146,31 +170,70 @@ def exact_dedup(
     )
 
 
+# offset basis kept from the original scalar implementation (a truncated
+# FNV-1a 64 basis) so vectorization preserves every signature bit-for-bit
+FNV_OFFSET = np.uint64(1469598103934665603)
+FNV_PRIME = np.uint64(1099511628211)
+
+
+def fnv1a_slices(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """FNV-1a 64 over many byte slices of one buffer, column-at-a-time.
+
+    One vectorized pass per byte *position* (bounded by the longest word),
+    not per word — the batch-level replacement for a per-word Python loop.
+    Bit-exact with the scalar FNV-1a: ``h = (h ^ byte) * prime mod 2**64``.
+    """
+    n = len(starts)
+    h = np.full(n, FNV_OFFSET, dtype=np.uint64)
+    if n == 0:
+        return h
+    maxlen = int(lens.max())
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = np.flatnonzero(lens > j)
+            if len(active) == 0:
+                break
+            b = buf[starts[active] + j].astype(np.uint64)
+            h[active] = (h[active] ^ b) * FNV_PRIME
+    return h
+
+
 def make_simhash_udf(seed: int = 42):
-    """pandas UDF: text → 64-bit SimHash over word hashes (vectorized)."""
+    """pandas UDF: text → 64-bit SimHash over word hashes.
+
+    Fully vectorized inside the batch: all words of all rows are hashed by
+    :func:`fnv1a_slices` in one numpy pass, bit votes are segment-summed per
+    document with ``np.add.reduceat`` — no per-word Python anywhere.
+    """
 
     @pandas_udf("long")
     def simhash64(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            words = (t or "").lower().split()
-            if not words:
-                continue
-            hs = np.array(
-                [hash_word(w) for w in words], dtype=np.uint64
-            )
-            bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            score = bits.sum(axis=0) * 2 - len(words)  # +1/-1 vote per bit
-            sh_bits = (score > 0).astype(np.uint8)
-            sh = np.packbits(sh_bits, bitorder="little").view(np.uint64)[0]
-            out.view(np.uint64)[i] = sh  # wraparound into signed storage
-        return pd.Series(out)
+        word_lists = [(t or "").lower().split() for t in texts]
+        counts = np.array([len(ws) for ws in word_lists], dtype=np.int64)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        total = int(counts.sum())
+        if total:
+            # words contain no whitespace, and 0x20 never occurs inside a
+            # UTF-8 multibyte sequence — so one join+encode then splitting on
+            # byte 0x20 recovers each word's exact encoded bytes
+            joined = " ".join(w for ws in word_lists for w in ws)
+            buf = np.frombuffer(joined.encode("utf-8", "ignore"), dtype=np.uint8)
+            sp = np.flatnonzero(buf == 0x20)
+            starts = np.concatenate([[0], sp + 1])
+            ends = np.concatenate([sp, [len(buf)]])
+            hs = fnv1a_slices(buf, starts, ends - starts)
 
-    def hash_word(w: str) -> int:
-        h = 1469598103934665603  # FNV-1a 64, wraparound in python ints
-        for ch in w.encode("utf-8", "ignore"):
-            h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-        return h
+            nz = np.flatnonzero(counts > 0)
+            seg = np.concatenate([[0], np.cumsum(counts)])[:-1][nz]
+            votes = np.empty((len(nz), 64), dtype=np.int64)
+            for j in range(64):  # 64 vectorized reduceats, not a word loop
+                bit = ((hs >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+                votes[:, j] = np.add.reduceat(bit, seg)
+            score = votes * 2 - counts[nz][:, None]  # +1/-1 vote per bit
+            sh_bits = (score > 0).astype(np.uint8)
+            packed = np.packbits(sh_bits, axis=1, bitorder="little")
+            out[nz] = np.ascontiguousarray(packed).view(np.uint64).ravel()
+        return pd.Series(out.view(np.int64))  # wraparound into signed storage
 
     return simhash64
 
@@ -195,28 +258,7 @@ def simhash_candidates(
         for bi in range(n_bands)
     ]
     banded = sigs.select("id", "sh", F.posexplode(F.array(*band)).alias("bi", "bh"))
-    grouped = banded.groupBy("bi", "bh").agg(
-        F.collect_list(F.struct("id", "sh")).alias("members")
-    ).where((F.size("members") > 1) & (F.size("members") <= max_bucket))
-    pairs = grouped.select(
-        F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        "members",
-                        lambda m, i: F.transform(
-                            F.slice("members", i + 2, F.size("members")),
-                            lambda o: F.struct(
-                                m["id"].alias("id_a"), o["id"].alias("id_b"),
-                                m["sh"].alias("sh_a"), o["sh"].alias("sh_b"),
-                            ),
-                        ),
-                    )
-                ),
-                lambda p: p["id_a"] < p["id_b"],
-            )
-        ).alias("p")
-    ).select("p.*")
+    pairs = capped_bucket_pairs(banded, "sh", max_bucket)
     dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         pairs.withColumn("hamming", dist)

@@ -43,6 +43,13 @@ def decode_chunk_table(tbl: pa.Table) -> pa.Table:
     flat = cols["token_values"].astype(np.int32, copy=False)
     offsets = cols["offsets"].astype(np.int64, copy=False)
     n = len(offsets) - 1
+    if n and int(offsets[-1]) > np.iinfo(np.int32).max:
+        # Arrow list<int32> offsets are int32; a chunk encoded with a huge
+        # chunk_bytes setting would wrap silently — refuse loudly instead
+        raise IOError(
+            f"chunk holds {int(offsets[-1])} token values, beyond int32 list "
+            "offsets; re-encode with chunk_bytes <= 8 GiB"
+        )
     tokens = pa.ListArray.from_arrays(
         pa.array(offsets.astype(np.int32)), pa.array(flat, type=pa.int32())
     )
@@ -70,6 +77,32 @@ def _chunk_files(chunks_dir: str, part_ids: list[int] | None) -> list[str]:
             os.path.join(root, n) for n in names if n.endswith(".parquet")
         )
     return sorted(files)
+
+
+def _manifest_files(spark, out_dir: str, part_ids: list[int] | None) -> list[str] | None:
+    """Chunk file list from the manifest (the scale path: no filesystem walk
+    — on an object store, enumeration comes from committed lineage, and
+    uncommitted partial files from a crashed wave are never decoded).
+    Returns None when this run predates file recording (walk fallback)."""
+    import os
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from .encode import _has_parquet
+
+    mdir = os.path.join(out_dir, "manifest", "chunks")
+    if not _has_parquet(mdir):
+        return None
+    m = spark.read.parquet(mdir)
+    if "file" not in m.columns:
+        return None
+    if part_ids is not None:
+        m = m.where(F.col("part_id").isin([int(p) for p in part_ids]))
+    uris = sorted(r["file"] for r in m.select("file").distinct().collect())
+    return [
+        urlparse(u).path if u.startswith("file:") else u for u in uris
+    ]
 
 
 def decode(spark, out_dir: str, part_ids: list[int] | None = None,
@@ -107,7 +140,9 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
 
         return chunks.groupBy("chunk_id").applyInArrow(decode_group, TOKEN_DDL)
 
-    files = _chunk_files(chunks_dir, part_ids)
+    files = _manifest_files(spark, out_dir, part_ids)
+    if files is None:
+        files = _chunk_files(chunks_dir, part_ids)
     if not files:
         return spark.createDataFrame([], TOKEN_DDL)
 

@@ -229,6 +229,18 @@ def _has_parquet(path: str) -> bool:
     return False
 
 
+def _write_per_part(df, path: str) -> None:
+    """Write manifest records partitioned by part_id with dynamic overwrite —
+    re-running a partition replaces its records (idempotent lineage) instead
+    of appending duplicates."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part_id")
+        .parquet(path)
+    )
+
+
 def completed_part_ids(spark, out_dir: str) -> set[int]:
     parts_dir = os.path.join(out_dir, "manifest", "parts")
     if not os.path.isdir(parts_dir):
@@ -302,18 +314,21 @@ def encode(
             "part_id int, n_chunks long, n_rows long, enc_bytes long,"
             " raw_bytes long, status string, completed_at double",
         )
-        parts.write.mode("append").parquet(os.path.join(out_dir, "manifest", "parts"))
+        _write_per_part(parts, os.path.join(out_dir, "manifest", "parts"))
         return {"n_partitions": n_total, "pending": len(pending),
                 "skipped": len(done), "chunk_bytes": chunk_bytes,
                 "wall_sec": time.time() - t0}
 
     # manifest: chunk records (payload pruned — parquet column pruning makes
-    # this read cheap) + per-partition completion markers, appended last so a
-    # crash before this point simply re-encodes the wave (idempotent via
-    # dynamic partition overwrite).
+    # this read cheap, and ``file`` records each chunk's physical path so
+    # decode/resume never need a filesystem walk) + per-partition completion
+    # markers.  Both are written with per-part_id dynamic overwrite, never
+    # blind append: a crash between the two writes leaves chunk records for
+    # an incomplete part, and the resumed run *replaces* them instead of
+    # appending duplicates that would double-count size rollups.
     written = spark.read.parquet(chunks_dir).where(F.col("part_id").isin(pending))
-    manifest = written.drop("payload")
-    manifest.write.mode("append").parquet(os.path.join(out_dir, "manifest", "chunks"))
+    manifest = written.drop("payload").withColumn("file", F.input_file_name())
+    _write_per_part(manifest, os.path.join(out_dir, "manifest", "chunks"))
     parts = (
         written.groupBy("part_id")
         .agg(
@@ -325,7 +340,7 @@ def encode(
         .withColumn("status", F.lit("complete"))
         .withColumn("completed_at", F.lit(time.time()))
     )
-    parts.write.mode("append").parquet(os.path.join(out_dir, "manifest", "parts"))
+    _write_per_part(parts, os.path.join(out_dir, "manifest", "parts"))
 
     wall = time.time() - t0
     report = {

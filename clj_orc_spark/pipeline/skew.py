@@ -47,13 +47,19 @@ def compute_plan(
     """
     n_partitions = max(1, n_partitions)
     lengths_df = df.select(length_col)
-    if total_rows is not None and total_rows > PLAN_SAMPLE_ROWS:
+    if total_rows is None:
+        # caller gave a bare DataFrame (no parquet footers to read): one
+        # cheap column-pruned count keeps the sample fraction honest — the
+        # collect below must NEVER be unbounded (10^12-row driver OOM)
+        total_rows = lengths_df.count()
+    if total_rows > PLAN_SAMPLE_ROWS:
         lengths_df = lengths_df.sample(
             fraction=min(1.0, PLAN_SAMPLE_ROWS * 1.25 / total_rows), seed=seed
         )
     lengths = np.array([r[0] for r in lengths_df.collect()], dtype=np.float64)
     if len(lengths) == 0:
-        return {"bounds": [], "offsets": [0], "allocs": [1], "n_total": 1}
+        return {"bounds": [], "offsets": [0], "allocs": [1], "n_total": 1,
+                "sample_n": 0}
 
     probs = [100.0 * i / n_buckets for i in range(1, n_buckets)]
     bounds = list(np.percentile(lengths, probs))
@@ -81,6 +87,9 @@ def compute_plan(
         "offsets": offsets,
         "allocs": allocs,
         "n_total": cum,
+        # lineage: how many lengths the plan was derived from (bounded by
+        # ~1.25 × PLAN_SAMPLE_ROWS regardless of input size)
+        "sample_n": int(len(lengths)),
     }
 
 

@@ -19,7 +19,8 @@ int_arrays = st.one_of(
             st.integers(min_value=int(np.iinfo(dt).min), max_value=int(np.iinfo(dt).max)),
             max_size=300,
         ).map(lambda xs, dt=dt: np.array(xs, dtype=dt))
-        for dt in (np.int8, np.int16, np.int32, np.int64)
+        for dt in (np.int8, np.int16, np.int32, np.int64,
+                   np.uint8, np.uint16, np.uint32, np.uint64)
     ]
 )
 
