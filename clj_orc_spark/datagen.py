@@ -105,12 +105,14 @@ def write_token_table(
     os.makedirs(out_dir, exist_ok=True)
     pq_path = os.path.join(out_dir, "tokens.parquet")
     orc_path = os.path.join(out_dir, "tokens.orc")
-    marker = os.path.join(out_dir, f".gen-{n_rows}-{seed}")
+    row_group_rows = 8192
+    marker = os.path.join(out_dir, f".gen-{n_rows}-{seed}-rg{row_group_rows}")
     if not os.path.exists(marker):
         table = gen_table(n_rows, seed)
         # bounded row groups → splittable scan (a single giant row group
-        # collapses Spark's read parallelism to 1 task)
-        pq.write_table(table, pq_path, row_group_size=32_768)
+        # collapses read parallelism to 1 task; 8192-row groups ≈ 20 MB raw,
+        # enough granularity to feed every core of the fused pyarrow scan)
+        pq.write_table(table, pq_path, row_group_size=row_group_rows)
         if with_orc_reference:
             paorc.write_table(table, orc_path)  # defaults — the size bar
         open(marker, "w").close()
