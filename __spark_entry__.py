@@ -318,6 +318,25 @@ def _q_minhash_dedup(spark, sf):  # MinHash+LSH near-dup pairs (rows-only)
     return minhash_lsh(docs, threshold=0.5)
 
 
+def _q_minhash_verified(spark, sf):  # full candidate→verify dedup pipeline
+    """MinHash LSH candidates verified by exact n-gram Jaccard — the
+    two-stage shape a production near-dup pass runs (cheap probabilistic
+    recall, exact precision only on the candidate set)."""
+    from pyspark.sql import functions as F
+
+    from clj_orc_spark.operators import minhash_lsh, ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    cand = minhash_lsh(docs, threshold=0.5).select("id_a", "id_b")
+    return (
+        ngram_jaccard_pairs(docs, cand, n=3)
+        .where(F.col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _q_simhash_dedup(spark, sf):  # SimHash near-dup pairs (rows-only)
     from clj_orc_spark.operators import simhash_candidates
 
@@ -412,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_stats": _shipped(_q_fingerprint_stats),
         "token_count_bpe": _shipped(_q_token_count_bpe),
         "minhash_dedup": _shipped(_q_minhash_dedup),
+        "minhash_verified": _shipped(_q_minhash_verified),
         "simhash_dedup": _shipped(_q_simhash_dedup),
         "lang_id": _shipped(_q_lang_id),
         "ivf_ann": _shipped(_q_ivf_ann),

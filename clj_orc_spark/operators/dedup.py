@@ -94,8 +94,14 @@ def capped_bucket_pairs(
         .drop("_n")
     )
     kept = exploded.join(small, keys)
+    # sort_array makes list order deterministic (struct sorts by id first):
+    # expansion emits (earlier, later) tuples, so without the sort any pair
+    # whose task-dependent collect_list order disagreed with id order was
+    # silently dropped by the id_a < id_b filter — nondeterministic recall
     grouped = kept.groupBy(*keys).agg(
-        F.collect_list(F.struct(F.col("id"), F.col(payload))).alias("members")
+        F.sort_array(
+            F.collect_list(F.struct(F.col("id"), F.col(payload)))
+        ).alias("members")
     )
     a, b = f"{payload}_a", f"{payload}_b"
     return grouped.select(

@@ -1,13 +1,20 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schemas, Arrow batch shapes,
-``mapInPandas`` UDF signatures, partitioning by media type/size — while the
-actual codec work (JPEG decode, audio resample, video frame extraction) is
-stubbed: the image/audio libraries are not in this container, so each decode
-stub either raises ``NotImplementedError`` (strict mode) or produces a
-deterministic fake derived from the payload bytes (test mode), clearly
-marked.  Swapping the fake for Pillow/torchaudio/ffmpeg changes one function
-body and none of the distributed plumbing.
+``mapInPandas`` UDF signatures, partitioning by media type/size — and so is
+the codec path for the formats decodable without external libraries:
+
+* **images**: BMP (24-bit uncompressed) and PPM/PGM decode + encode in pure
+  numpy; features are a real 8×8 block-mean grayscale thumbnail (64-dim).
+* **audio**: WAV via the stdlib ``wave`` module; features are 64 equal-width
+  FFT-magnitude bands.
+* **resize**: nearest-neighbor + block-mean downsample, vectorized.
+
+JPEG/PNG decode and video frame sampling still require codec libraries not
+present in this container and remain declared ``NotImplementedError`` stubs
+(strict mode) with a deterministic content-hash fake for plumbing tests —
+swapping in Pillow/pyav changes one dispatch branch, none of the
+distributed plumbing.
 """
 
 from __future__ import annotations
@@ -38,16 +45,129 @@ def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return rng.standard_normal(dim).astype(np.float32)
 
 
-def decode_image(payload: bytes, meta: dict):  # pragma: no cover - strict stub
-    """STUB: real implementation needs an image codec (Pillow/libjpeg)."""
+# --- real codecs (no external libs) ----------------------------------------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 (RGB) → 24-bit uncompressed BMP bytes."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    header = (
+        b"BM"
+        + (54 + img_size).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + int(w).to_bytes(4, "little") + int(h).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + img_size.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    return header + rows.tobytes()
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit uncompressed BMP (got bpp={bpp})")
+    flip = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h, offset=off)
+    px = rows.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    return px[::-1] if flip else px
+
+
+def _decode_pnm(payload: bytes) -> np.ndarray:
+    """P6 (RGB) / P5 (gray) binary netpbm."""
+    parts: list[bytes] = []
+    i = 2
+    while len(parts) < 3:  # width, height, maxval
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            i = payload.index(b"\n", i) + 1
+            continue
+        j = i
+        while not payload[j : j + 1].isspace():
+            j += 1
+        parts.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = (int(p) for p in parts)
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    c = 3 if payload[:2] == b"P6" else 1
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * c, offset=i)
+    return px.reshape(h, w, c)
+
+
+def decode_image(payload: bytes, meta: dict | None = None) -> np.ndarray:
+    """binary → HxWxC uint8.  Real for BMP and PPM/PGM; JPEG/PNG need a
+    codec library not present in this environment (declared stub)."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_pnm(payload)
     raise NotImplementedError(
-        "image decode requires an image library not present in this "
-        "environment; use extract_features(..., fake=True) for plumbing tests"
+        "JPEG/PNG decode requires an image codec library (Pillow/libjpeg) "
+        "not present in this environment; BMP and PPM/PGM decode natively"
     )
 
 
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (int16 samples [n, channels], sample_rate) via stdlib."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV")
+        data = np.frombuffer(wf.readframes(wf.getnframes()), dtype=np.int16)
+        return data.reshape(-1, wf.getnchannels()), wf.getframerate()
+
+
+def resize_image(arr: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbor resize to (h, w) — vectorized index gather."""
+    h, w = size
+    ri = (np.arange(h) * arr.shape[0]) // h
+    ci = (np.arange(w) * arr.shape[1]) // w
+    return arr[ri][:, ci]
+
+
+def image_feature(arr: np.ndarray, grid: int = 8) -> np.ndarray:
+    """Real 64-dim feature: ``grid×grid`` block-mean grayscale thumbnail,
+    scaled to [0, 1] — the classic near-dup image fingerprint."""
+    gray = arr.astype(np.float32).mean(axis=2) if arr.ndim == 3 else arr.astype(np.float32)
+    rb = (np.arange(grid) * gray.shape[0]) // grid
+    cb = (np.arange(grid) * gray.shape[1]) // grid
+    cells = np.add.reduceat(np.add.reduceat(gray, rb, axis=0), cb, axis=1)
+    counts = np.outer(np.diff(np.append(rb, gray.shape[0])),
+                      np.diff(np.append(cb, gray.shape[1])))
+    return (cells / counts / 255.0).astype(np.float32).ravel()
+
+
+def audio_feature(payload: bytes, bands: int = FEATURE_DIM) -> np.ndarray:
+    """Real 64-dim feature: mean |rfft| over ``bands`` equal-width bands of
+    the first channel, L2-normalized."""
+    samples, _ = decode_audio(payload)
+    x = samples[:, 0].astype(np.float32)
+    mag = np.abs(np.fft.rfft(x))
+    edges = (np.arange(bands) * len(mag)) // bands
+    e = np.add.reduceat(mag, edges) / np.maximum(np.diff(np.append(edges, len(mag))), 1)
+    norm = float(np.linalg.norm(e))
+    return (e / norm if norm > 0 else e).astype(np.float32)
+
+
 def sample_frames(payload: bytes, meta: dict, every_ms: int = 1000):  # pragma: no cover
-    """STUB: real implementation needs ffmpeg/pyav."""
+    """STUB: real implementation needs ffmpeg/pyav (container demux + codec)."""
     raise NotImplementedError("video frame sampling requires ffmpeg/pyav")
 
 
@@ -62,6 +182,13 @@ def extract_features(
     memory flat), output is a fixed-dim float array per row.
     """
 
+    def real_feature(kind: str, payload: bytes) -> list[float]:
+        if kind == "image":
+            return image_feature(decode_image(payload)).tolist()
+        if kind == "audio":
+            return audio_feature(payload, dim).tolist()
+        raise NotImplementedError(f"no real extractor for kind={kind}")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for lo in range(0, len(pdf), batch_limit):
@@ -70,8 +197,11 @@ def extract_features(
                     feats = [
                         _fake_feature(p, dim).tolist() for p in piece["payload"]
                     ]
-                else:  # pragma: no cover
-                    feats = [decode_image(p, {}) for p in piece["payload"]]
+                else:
+                    feats = [
+                        real_feature(k, p)
+                        for k, p in zip(piece["kind"], piece["payload"])
+                    ]
                 yield pd.DataFrame(
                     {
                         "media_id": piece["media_id"].values,
@@ -92,6 +222,40 @@ def media_partition_plan(df: DataFrame, bytes_per_task: int = 256 << 20) -> Data
     return df.withColumn("size_bucket", bucket).repartition(
         "kind", "size_bucket"
     )
+
+
+def real_media_table(spark, n_rows: int = 32, seed: int = 42) -> DataFrame:
+    """Deterministic media rows with REAL payloads: BMP images + WAV audio
+    — the non-fake codec path's test/benchmark input."""
+    import io
+    import wave
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_rows):
+        if i % 2 == 0:
+            h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            rows.append(
+                (f"m-{i:06d}", "image", bytearray(encode_bmp(arr)),
+                 (w, h, None, None, "bmp"))
+            )
+        else:
+            sr, n = 8000, int(rng.integers(400, 4000))
+            samples = (
+                np.sin(np.arange(n) * (float(rng.uniform(0.05, 0.5)))) * 12000
+            ).astype(np.int16)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(sr)
+                wf.writeframes(samples.tobytes())
+            rows.append(
+                (f"m-{i:06d}", "audio", bytearray(buf.getvalue()),
+                 (None, None, sr, 1000 * n // sr, "pcm16"))
+            )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA_DDL)
 
 
 def fake_media_table(spark, n_rows: int = 64, seed: int = 42) -> DataFrame:

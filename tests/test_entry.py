@@ -77,6 +77,6 @@ def test_oracle_keys_subset_of_queries():
     assert os_ <= qs
     # non-SQL ops are known and intentional (engine-native or approximate)
     assert qs - os_ == {
-        "encode_roundtrip", "codec_manifest", "minhash_dedup", "simhash_dedup",
-        "ivf_ann",
+        "encode_roundtrip", "codec_manifest", "minhash_dedup",
+        "minhash_verified", "simhash_dedup", "ivf_ann",
     }
