@@ -3,6 +3,7 @@
 from .explain import (  # noqa: F401
     assert_columns_pruned,
     assert_filter_pushed,
+    executed_codegen_count,
     explain_str,
     pushed_filters,
     read_schema,

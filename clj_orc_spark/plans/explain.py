@@ -41,10 +41,22 @@ def read_schema(df: DataFrame) -> str:
 
 
 def wholestage_codegen_count(df: DataFrame) -> int:
-    """Distinct WholeStageCodegen spans (the ``*(n)`` markers in simple mode)."""
+    """Distinct WholeStageCodegen spans (the ``*(n)`` markers in simple mode).
+
+    Under AQE the pre-execution plan is an unfinalized AdaptiveSparkPlan with
+    NO ``*(n)`` markers at all — counting before an action always yields 0
+    (the round-1 PLANS.md mistake).  Use :func:`executed_codegen_count` for
+    the real number."""
     import re
 
     return len(set(re.findall(r"\*\((\d+)\)", explain_str(df, "simple"))))
+
+
+def executed_codegen_count(df: DataFrame) -> int:
+    """Execute the DataFrame's own query (finalizing its AdaptiveSparkPlan),
+    then count WholeStageCodegen spans in the final physical plan."""
+    df.collect()
+    return wholestage_codegen_count(df)
 
 
 def assert_filter_pushed(df: DataFrame, column: str) -> None:

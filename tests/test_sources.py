@@ -163,3 +163,16 @@ def test_plan_auditors(spark):
     assert_filter_pushed(df, "l_quantity")
     assert_columns_pruned(df, ["l_orderkey", "l_quantity"], ["l_extendedprice"])
     assert wholestage_codegen_count(df) >= 1
+
+
+def test_headline_queries_run_in_codegen(spark):
+    """The hot path of every headline query must sit in ≥1 WholeStageCodegen
+    span of the EXECUTED plan — the pre-execution AQE plan shows no spans at
+    all (the round-1 PLANS.md 'spans: 0' mistake)."""
+    import __spark_entry__ as entry_mod
+    from clj_orc_spark.plans import executed_codegen_count
+
+    qs = entry_mod.queries()
+    for name in ("filter_agg", "orders_join", "pricing_summary", "embed_topk"):
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        assert executed_codegen_count(df) >= 1, name
