@@ -278,6 +278,20 @@ def _q_embed_topk(spark, sf):  # brute-force cosine top-k (similarity baseline)
     )
 
 
+def _q_embed_near_dup(spark, sf):  # embedding-cosine near-dup pairs (exact)
+    from clj_orc_spark.operators import cosine_near_dups
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return cosine_near_dups(emb, threshold=0.38)
+
+
+def _q_embed_near_dup_lsh(spark, sf):  # LSH-bucketed scale path (rows-only)
+    from clj_orc_spark.operators import cosine_near_dups_lsh
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return cosine_near_dups_lsh(emb, threshold=0.38, n_planes=16, bands=8)
+
+
 def _q_windowed_events(spark, sf):  # streaming windowed agg (batch-equivalent plan)
     from clj_orc_spark.streaming import windowed_event_counts
 
@@ -427,6 +441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_join": _shipped(_q_orders_join),
         "pricing_summary": _shipped(_q_pricing_summary),
         "embed_topk": _shipped(_q_embed_topk),
+        "embed_near_dup": _shipped(_q_embed_near_dup),
+        "embed_near_dup_lsh": _shipped(_q_embed_near_dup_lsh),
         "windowed_events": _shipped(_q_windowed_events),
         "fingerprint_stats": _shipped(_q_fingerprint_stats),
         "token_count_bpe": _shipped(_q_token_count_bpe),
@@ -539,6 +555,15 @@ def oracle_sql() -> dict[str, str]:
             " FROM d e, (SELECT embedding FROM d WHERE vec_id = 0) q"
             " WHERE e.vec_id != 0"
             " ORDER BY cos_sim DESC, e.vec_id LIMIT 10"
+        ),
+        "embed_near_dup": (
+            "WITH d AS (SELECT vec_id,"
+            "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+            "  FROM embeddings)"
+            " SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+            "  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim"
+            " FROM d a, d b WHERE a.vec_id < b.vec_id"
+            " AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.38"
         ),
         "windowed_events": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')"

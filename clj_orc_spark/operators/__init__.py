@@ -11,6 +11,8 @@ from .dedup import (  # noqa: F401
 )
 from .similarity import (  # noqa: F401
     brute_force_topk,
+    cosine_near_dups,
+    cosine_near_dups_lsh,
     ivf_topk,
     lsh_bucket_topk,
     train_ivf,

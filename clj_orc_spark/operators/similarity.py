@@ -110,6 +110,69 @@ def ivf_topk(
     )
 
 
+def cosine_near_dups(
+    df: DataFrame, threshold: float = 0.9,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
+    cos ≥ threshold) via a broadcast self-join — O(n²), the oracle-checkable
+    correctness baseline.  Use :func:`cosine_near_dups_lsh` at scale."""
+    a = df.select(F.col(id_col).alias("id_a"),
+                  F.col(vec_col).cast("array<double>").alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  F.col(vec_col).cast("array<double>").alias("vb"))
+    sim = F.round(cosine_sim(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def cosine_near_dups_lsh(
+    df: DataFrame, threshold: float = 0.9, n_planes: int = 16, bands: int = 4,
+    max_bucket: int = 64, id_col: str = "vec_id", vec_col: str = "embedding",
+    seed: int = 42, dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: random-hyperplane signature
+    → banded buckets (a pair at angle θ shares a band with prob
+    (1 - θ/π)^(planes/bands) per band) → exact cosine verify ONLY within
+    capped buckets.  The shuffle carries (band, id, vector); the quadratic
+    work is bounded by ``max_bucket`` — same architecture as the text
+    MinHash path (dedup.capped_bucket_pairs)."""
+    from .dedup import capped_bucket_pairs
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    r = n_planes // bands
+    weights = 1 << np.arange(r, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def band_sig(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.to_list(), dtype=np.float64)
+        bits = ((m @ planes.T) > 0).astype(np.int64)  # n × planes
+        out = [
+            (bits[:, b * r : (b + 1) * r] @ weights) for b in range(bands)
+        ]
+        return pd.Series(np.stack(out, axis=1).tolist())
+
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        band_sig(F.col(vec_col)).alias("bands"),
+    )
+    exploded = sigs.select("id", "vec", F.posexplode("bands").alias("bi", "bh"))
+    pairs = capped_bucket_pairs(exploded, "vec", max_bucket)
+    sim = F.round(cosine_sim(F.col("vec_a"), F.col("vec_b")), 6)
+    return (
+        pairs.select("id_a", "id_b", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+
+
 def lsh_bucket_topk(
     df: DataFrame, query_vec: list[float], k: int = 10, n_planes: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,

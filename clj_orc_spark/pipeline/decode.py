@@ -92,7 +92,7 @@ def _manifest_files(spark, out_dir: str, part_ids: list[int] | None) -> list[str
     from .encode import _has_parquet
 
     mdir = os.path.join(out_dir, "manifest", "chunks")
-    if not _has_parquet(mdir):
+    if not _has_parquet(spark, mdir):
         return None
     m = spark.read.parquet(mdir)
     if "file" not in m.columns:
@@ -127,7 +127,7 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
     chunks_dir = os.path.join(out_dir, "chunks")
     from .encode import _has_parquet
 
-    if not _has_parquet(chunks_dir):  # empty run wrote no chunks
+    if not _has_parquet(spark, chunks_dir):  # empty run wrote no chunks
         return spark.createDataFrame([], TOKEN_DDL)
 
     if mode == "shuffle":

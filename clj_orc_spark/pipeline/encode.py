@@ -38,6 +38,7 @@ import pyarrow as pa
 
 from ..kernels import StringCol, crc32
 from ..selector import encode_column
+from . import fsio
 from .skew import apply_plan, compute_plan
 
 DEFAULT_CHUNK_BYTES = 8 << 20  # raw token bytes per chunk (byte-limit analog)
@@ -311,22 +312,16 @@ def _load_or_compute_plan(spark, df, out_dir: str, n_partitions: int,
     records which salting hash the run uses (fnv1a for the fused pyarrow
     scan, xxhash64 for the JVM DataFrame path); a resume must keep it."""
     plan_path = os.path.join(out_dir, "plan.json")
-    if os.path.exists(plan_path):
-        with open(plan_path) as f:
-            return json.load(f)
+    if fsio.exists(spark, plan_path):
+        return json.loads(fsio.read_text(spark, plan_path))
     plan = compute_plan(df, n_partitions, total_rows=_input_row_count(input_path))
     plan["assign_hash"] = assign_hash
-    os.makedirs(out_dir, exist_ok=True)
-    with open(plan_path, "w") as f:
-        json.dump(plan, f)
+    fsio.write_text(spark, plan_path, json.dumps(plan))
     return plan
 
 
-def _has_parquet(path: str) -> bool:
-    for root, _, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
+def _has_parquet(spark, path: str) -> bool:
+    return fsio.has_parquet(spark, path)
 
 
 def _write_per_part(df, path: str) -> None:
@@ -343,7 +338,7 @@ def _write_per_part(df, path: str) -> None:
 
 def completed_part_ids(spark, out_dir: str) -> set[int]:
     parts_dir = os.path.join(out_dir, "manifest", "parts")
-    if not os.path.isdir(parts_dir):
+    if fsio.is_local(parts_dir) and not os.path.isdir(parts_dir):
         return set()
     try:
         rows = spark.read.parquet(parts_dir).select("part_id").distinct().collect()
@@ -435,7 +430,7 @@ def encode(
         .parquet(chunks_dir)
     )
 
-    if not _has_parquet(chunks_dir):
+    if not _has_parquet(spark, chunks_dir):
         # zero rows pending (empty input): mark parts complete, no chunks
         parts = spark.createDataFrame(
             [(p, 0, 0, 0, 0, "complete", time.time()) for p in pending],
@@ -476,21 +471,23 @@ def encode(
         "pending": len(pending),
         "skipped": len(done),
         "chunk_bytes": chunk_bytes,
+        "scan": "arrow-fused" if files else "jvm",
         "wall_sec": wall,
     }
     meta_path = os.path.join(out_dir, "run_meta.json")
     history = []
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            history = json.load(f).get("runs", [])
-    with open(meta_path, "w") as f:
-        json.dump(
+    if fsio.exists(spark, meta_path):
+        history = json.loads(fsio.read_text(spark, meta_path)).get("runs", [])
+    fsio.write_text(
+        spark,
+        meta_path,
+        json.dumps(
             {
                 "engine": "clj_orc_spark",
                 "schema_cols": list(CHUNK_COLS),
                 "runs": history + [report],
             },
-            f,
             indent=1,
-        )
+        ),
+    )
     return report

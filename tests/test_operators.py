@@ -97,6 +97,33 @@ def test_ivf_topk_recall(spark):
     assert len(set(exact) & set(approx)) >= 5, (exact, approx)
 
 
+def test_cosine_near_dups_lsh_recall(spark):
+    """On clustered vectors (true near-dups), the LSH-bucketed path must
+    recover ≥90% of the exact pairs — and never invent one (exact cosine
+    verify runs inside the buckets, so precision is 1.0 by construction)."""
+    import numpy as np
+
+    from clj_orc_spark.operators import cosine_near_dups, cosine_near_dups_lsh
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 32))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, (v / np.linalg.norm(v)).tolist()))
+        n = v + rng.standard_normal(32) * 0.05  # a true near-duplicate
+        rows.append((i * 2 + 1, (n / np.linalg.norm(n)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {(r["id_a"], r["id_b"])
+             for r in cosine_near_dups(df, threshold=0.95).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in cosine_near_dups_lsh(df, threshold=0.95, n_planes=16,
+                                         bands=8).collect()}
+    assert exact, "fixture must contain true near-dups"
+    assert lsh <= exact
+    assert len(lsh) / len(exact) >= 0.9
+
+
 def test_lsh_bucket_topk_returns_query_bucket(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = list(emb.where(F.col("vec_id") == 3).first()["embedding"])

@@ -272,6 +272,36 @@ def test_decode_rejects_offsets_beyond_int32():
         decode_chunk_table(tbl)
 
 
+# --- filesystem-agnostic sidecar I/O -----------------------------------------
+
+
+def test_fsio_text_roundtrip_via_uri(spark, tmp_dir):
+    from clj_orc_spark.pipeline import fsio
+
+    uri = "file://" + os.path.join(tmp_dir, "sub", "x.json")
+    assert not fsio.exists(spark, uri)
+    fsio.write_text(spark, uri, '{"a": 1}')
+    assert fsio.exists(spark, uri)
+    assert fsio.read_text(spark, uri) == '{"a": 1}'
+    assert not fsio.has_parquet(spark, "file://" + tmp_dir)
+
+
+def test_encode_decode_resume_via_file_uri(spark, token_table_dir, tmp_dir):
+    """Scheme-qualified URIs end-to-end: the sidecars (plan.json,
+    run_meta.json, existence probes, manifest file list) must work through
+    the Hadoop FS API — the object-store deployment shape — not POSIX."""
+    from clj_orc_spark.pipeline import decode, encode, verify_roundtrip
+
+    src = "file://" + os.path.join(token_table_dir, "tokens.parquet")
+    out = "file://" + os.path.join(tmp_dir, "uri-out")
+    rep = encode(spark, src, out, n_partitions=4)
+    assert rep["pending"] >= 1
+    rep2 = encode(spark, src, out, n_partitions=4)  # resume over the URI
+    assert rep2["pending"] == 0 and rep2["skipped"] == rep["pending"]
+    v = verify_roundtrip(spark.read.parquet(src), decode(spark, out))
+    assert v["bit_identical"]
+
+
 # --- real multimodal codecs ---------------------------------------------------
 
 
