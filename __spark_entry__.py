@@ -200,6 +200,16 @@ def _q_dedup_exact(spark, sf):  # exact dedup via content hash
     )
 
 
+def _q_except_all_docs(spark, sf):  # multiset set-op (exceptAll), §2.3
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "lang")
+    short = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .where(F.length("text") < 200)
+        .select("doc_id", "lang")
+    )
+    return docs.exceptAll(short)
+
+
 def _q_word_count(spark, sf):  # token counting (whitespace model)
     t = F.col("text")
     words = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + F.lit(1)
@@ -436,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_metrics": _shipped(_q_rollup_metrics),
         "length_buckets": _shipped(_q_length_buckets),
         "dedup_exact": _shipped(_q_dedup_exact),
+        "except_all_docs": _shipped(_q_except_all_docs),
         "word_count": _shipped(_q_word_count),
         "quality_score": _shipped(_q_quality_score),
         "orders_join": _shipped(_q_orders_join),
@@ -516,6 +527,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id"
             " FROM documents GROUP BY md5(text) HAVING count(*) > 1"
+        ),
+        "except_all_docs": (
+            "SELECT doc_id, lang FROM documents"
+            " EXCEPT ALL"
+            " SELECT doc_id, lang FROM documents WHERE length(text) < 200"
         ),
         "word_count": (
             "SELECT lang, CAST(sum(n_words) AS BIGINT) AS total_words,"

@@ -120,7 +120,13 @@ class Fsst:
     name = "fsst"
 
     @classmethod
-    def encode(cls, col: StringCol) -> tuple[bytes, dict]:
+    def encode(cls, col: StringCol,
+               symbols: list[bytes] | None = None) -> tuple[bytes, dict]:
+        """``symbols`` lets a caller reuse a symbol table built on an earlier
+        chunk of the same column (the per-partition cache in the encode
+        pipeline) — table construction dominates FSST encode time, the table
+        travels in each chunk's meta regardless, and the honesty guard
+        bounds any staleness by plain."""
         n = col.n
         data = np.frombuffer(col.data, dtype=np.uint8)
         op, om = Delta.encode(col.offsets)
@@ -128,7 +134,8 @@ class Fsst:
             payload, sections = pack_sections(b"", b"", b"", op)
             return payload, {"codec": cls.name, "n": n, "data_len": 0,
                              "sections": sections, "offsets": om, "symbols": None}
-        symbols = build_symbol_table(data[:SAMPLE_BYTES])
+        if symbols is None:
+            symbols = build_symbol_table(data[:SAMPLE_BYTES])
         codes_out, literals = cls._compress(data, symbols)
         from .plain import PlainStr
 

@@ -18,6 +18,14 @@ Everything stays columnar: Arrow record batches in, numpy kernels, Arrow out —
 no per-row Python anywhere (the reference's per-cell dispatch,
 `src/orc/core.clj:34-43`, is the anti-pattern this engine exists to fix).
 
+Physical strategy (round 2): the default "rowgroup" mode plans ``part_id``
+from parquet footers (byte-balanced LPT bins of row groups) and fuses scan +
+chunk + encode into ONE ``mapInArrow`` stage — ZERO shuffles, so at 100 TB
+the token bytes go parquet → Arrow → kernels → chunk write and the only
+cluster-shared resource is the object store.  The salted n_tok-quantile
+repartition (skew.py) remains as ``scan="salted"`` / the ``df=`` path for
+inputs whose row groups are themselves pathological.
+
 Layout under ``out_dir``::
 
     chunks/part_id=N/*.parquet    encoded payload rows (one row per chunk×column)
@@ -72,8 +80,13 @@ OUT_DDL = (
 CHUNK_COLS = ("doc_id", "source", "n_tok", "token_values", "offsets")
 
 
-def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int) -> dict[str, list]:
-    """Encode one chunk's five physical columns → manifest/payload rows."""
+def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int,
+                       cache: dict | None = None) -> dict[str, list]:
+    """Encode one chunk's five physical columns → manifest/payload rows.
+
+    ``cache`` is the per-partition selection cache (selector.encode_column):
+    chunk 0 of a partition pays full selection + FSST table construction,
+    later chunks reuse it — selection was ~half the string encode time."""
     n = tbl.num_rows
     tokens = tbl.column("tokens").combine_chunks()
     flat = np.asarray(tokens.flatten(), dtype=np.int32)
@@ -92,7 +105,7 @@ def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int) -> dict[str, list]
     for col_name, (col, kind, raw) in columns.items():
         if kind == "str":
             raw = len(col.data) + col.offsets.nbytes
-        payload, meta, selection = encode_column(col, kind)
+        payload, meta, selection = encode_column(col, kind, cache, col_name)
         rows["chunk_id"].append(chunk_id)
         rows["seq"].append(seq)
         rows["col"].append(col_name)
@@ -138,13 +151,17 @@ def make_encoder(chunk_bytes: int = DEFAULT_CHUNK_BYTES):
         bufs: dict[int, list[pa.RecordBatch]] = {}
         buf_bytes: dict[int, int] = {}
         seqs: dict[int, int] = {}
+        caches: dict[int, dict] = {}
 
         def flush(part_id: int) -> Iterator[pa.RecordBatch]:
             buf = bufs.get(part_id)
             if not buf:
                 return
             tbl = pa.Table.from_batches(buf)
-            rows = _encode_chunk_rows(tbl, part_id, seqs.get(part_id, 0))
+            rows = _encode_chunk_rows(
+                tbl, part_id, seqs.get(part_id, 0),
+                caches.setdefault(part_id, {}),
+            )
             seqs[part_id] = seqs.get(part_id, 0) + 1
             bufs[part_id], buf_bytes[part_id] = [], 0
             yield pa.RecordBatch.from_arrays(
@@ -181,9 +198,14 @@ SCAN_DDL = "doc_id string, tokens array<int>, n_tok int, source string, part_id 
 
 def _local_parquet_files(input_path: str | None) -> list[str] | None:
     """Parquet files under input_path when pyarrow can read them directly
-    (the fused-scan fast path); None → fall back to the JVM scan."""
+    (the fused-scan fast path); None → fall back to the JVM scan.  On a real
+    deployment the same fast path works for object stores via
+    ``pyarrow.fs`` — here only local/file:// is wired because the sandbox
+    has no object store to test against."""
     if input_path is None:
         return None
+    if input_path.startswith("file://"):
+        input_path = input_path[len("file://"):]
     if os.path.isfile(input_path):
         return [input_path] if input_path.endswith(".parquet") else None
     files = []
@@ -215,6 +237,115 @@ def _row_group_assignments(
         bins[j].append((f, i))
         loads[j] += size
     return bins
+
+
+def _rowgroup_plan(files: list[str], n_partitions: int,
+                   explicit: bool) -> dict:
+    """Zero-shuffle partition plan: ``part_id`` = a byte-balanced bin of
+    parquet row groups, so scan + encode run in ONE ``mapInArrow`` stage
+    with no repartition — at 100 TB the token bytes never touch the shuffle.
+
+    Skew control happens here instead of the salted repartition: units are
+    (file, row_group, row_lo, row_hi) weighted by the footer's uncompressed
+    byte size and LPT-packed into ``min(n_partitions, n_units)`` bins, so no
+    task receives a pathological long-sequence hot partition (footer
+    metadata only — no data read).  When the caller *explicitly* asks for
+    more partitions than there are row groups (tests / tiny inputs), units
+    are split by row ranges; each split re-reads its row group, so the
+    automatic default never splits.
+    """
+    import pyarrow.parquet as pq
+
+    units: list[tuple[float, str, int, int, int]] = []  # weight,f,rg,lo,hi
+    for f in files:
+        md = pq.read_metadata(f)
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            units.append((float(rg.total_byte_size), f, i, 0, rg.num_rows))
+    if not units:
+        return {"mode": "rowgroup", "n_total": 1, "parts": [[]]}
+
+    n_partitions = max(1, n_partitions)
+    if explicit and n_partitions > len(units):
+        total_w = sum(u[0] for u in units) or 1.0
+        split: list[tuple[float, str, int, int, int]] = []
+        for w, f, i, lo, hi in units:
+            k = max(1, min(hi - lo, round(n_partitions * w / total_w)))
+            edges = np.linspace(lo, hi, k + 1).astype(int)
+            for a, b in zip(edges[:-1], edges[1:]):
+                if b > a:
+                    split.append((w * (b - a) / max(1, hi - lo), f, i, int(a), int(b)))
+        units = split
+
+    n_bins = max(1, min(n_partitions, len(units)))
+    bins: list[list[list]] = [[] for _ in range(n_bins)]
+    loads = [0.0] * n_bins
+    for w, f, i, lo, hi in sorted(units, key=lambda u: u[0], reverse=True):
+        j = loads.index(min(loads))
+        bins[j].append([f, i, lo, hi])
+        loads[j] += w
+    return {"mode": "rowgroup", "n_total": n_bins, "parts": bins}
+
+
+def make_rowgroup_encoder(
+    parts: list[list[list]], pending: list[int], chunk_bytes: int
+):
+    """ONE-stage scan+encode for ``mapInArrow`` over ``spark.range``.
+
+    Each task owns one ``part_id`` (a planned bin of row groups): it reads
+    its row groups with pyarrow, feeds them straight into the byte-budget
+    chunk encoder, and emits encoded chunk rows — zero shuffle, zero
+    JVM-row materialization of token bytes.  This is the 100 TB default
+    (measured: the salted-repartition path moves every token byte through
+    shuffle write+read, which caps single-box scaling and is network-bound
+    on a real cluster)."""
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            for idx in batch.column(0).to_pylist():
+                pid = pending[int(idx)]
+                seq = 0
+                sel_cache: dict = {}
+                for f, rg, lo, hi in parts[pid]:
+                    tbl = pq.ParquetFile(f).read_row_group(
+                        int(rg),
+                        columns=["doc_id", "tokens", "n_tok", "source"],
+                    ).slice(int(lo), int(hi) - int(lo))
+                    if not tbl.num_rows:
+                        continue
+                    # chunk boundaries straight on the row-group table:
+                    # zero-copy slices into the byte-budget governor — no
+                    # re-batching/concat copies on the hot path
+                    tok_csum = np.cumsum(
+                        np.asarray(
+                            tbl.column("n_tok").combine_chunks(), dtype=np.int64
+                        )
+                        * 4
+                    )
+                    row = 0
+                    while row < tbl.num_rows:
+                        base = int(tok_csum[row - 1]) if row else 0
+                        end = int(
+                            np.searchsorted(
+                                tok_csum, base + chunk_bytes, side="right"
+                            )
+                        )
+                        end = min(tbl.num_rows, max(row + 1, end))
+                        rows = _encode_chunk_rows(
+                            tbl.slice(row, end - row), pid, seq, sel_cache
+                        )
+                        seq += 1
+                        row = end
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                pa.array(rows[fld.name], type=fld.type)
+                                for fld in OUT_SCHEMA
+                            ],
+                            schema=OUT_SCHEMA,
+                        )
+
+    return run
 
 
 def make_arrow_scanner(
@@ -320,6 +451,19 @@ def _load_or_compute_plan(spark, df, out_dir: str, n_partitions: int,
     return plan
 
 
+def _load_or_compute_rowgroup_plan(spark, out_dir: str, files: list[str],
+                                   n_partitions: int, explicit: bool) -> dict:
+    """Rowgroup-mode twin of :func:`_load_or_compute_plan` — the persisted
+    plan IS the part→row-group assignment, so a resume re-encodes exactly
+    the pending bins regardless of file-listing order or bin-packing ties."""
+    plan_path = os.path.join(out_dir, "plan.json")
+    if fsio.exists(spark, plan_path):
+        return json.loads(fsio.read_text(spark, plan_path))
+    plan = _rowgroup_plan(files, n_partitions, explicit)
+    fsio.write_text(spark, plan_path, json.dumps(plan))
+    return plan
+
+
 def _has_parquet(spark, path: str) -> bool:
     return fsio.has_parquet(spark, path)
 
@@ -363,29 +507,61 @@ def encode(
     ``limit_parts`` encodes only the first K pending partitions — used by the
     resume tests to simulate a killed run (SURVEY.md §5 engine-test 5).
 
-    ``scan`` — "auto" (default) fuses the parquet scan into the first
-    ``mapInArrow`` stage via pyarrow row-group reads whenever ``input_path``
-    points at directly readable parquet (the measured ~1.5x scan win on
-    nested token columns); "jvm" forces the Catalyst DataFrame scan (always
-    used for ``df=`` inputs).  The choice is recorded in plan.json and
-    pinned on resume, because each path salts part_id with a different
-    (deterministic) string hash.
+    ``scan`` picks the physical strategy (recorded in plan.json and pinned on
+    resume — each mode assigns part_id differently, and per-partition lineage
+    is only sound if a resume reproduces the assignment exactly):
+
+    * "auto" (default) → "rowgroup" whenever ``input_path`` is directly
+      readable parquet, else "jvm".
+    * "rowgroup": ZERO-SHUFFLE scan+encode in one ``mapInArrow`` stage;
+      part_id = a footer-planned, byte-balanced bin of row groups
+      (:func:`_rowgroup_plan`).  The 100 TB shape: token bytes go parquet →
+      Arrow → kernels → chunk write, never through a shuffle.
+    * "salted": fused pyarrow scan feeding the n_tok-quantile salted
+      repartition (skew.py) — the shape for inputs whose row groups are
+      themselves pathologically skewed or oversized.
+    * "jvm": Catalyst DataFrame scan + salted repartition (always used for
+      ``df=`` inputs and non-local filesystems).
     """
     from pyspark.sql import functions as F
 
     assert out_dir, "out_dir required"
-    if df is None:
+    explicit_parts = n_partitions is not None
+    if df is None and scan in ("jvm", "salted"):
         df = spark.read.parquet(input_path)
     if n_partitions is None:
         n_partitions = _default_n_partitions(spark, df, input_path)
 
     t0 = time.time()
     files = _local_parquet_files(input_path) if scan != "jvm" else None
-    plan = _load_or_compute_plan(
-        spark, df, out_dir, n_partitions, input_path,
-        assign_hash="fnv1a" if files else "xxhash64",
-    )
-    if plan.get("assign_hash", "xxhash64") == "xxhash64":
+    if scan == "salted" and not files:
+        raise ValueError("scan='salted' needs directly readable parquet files")
+
+    if files and scan in ("auto", "rowgroup"):
+        if not explicit_parts:
+            # part == task in this mode: keep every core busy even when the
+            # byte-based default would under-split a small input
+            n_partitions = max(
+                n_partitions, spark.sparkContext.defaultParallelism * 2
+            )
+        plan = _load_or_compute_rowgroup_plan(
+            spark, out_dir, files, n_partitions, explicit_parts
+        )
+    else:
+        if df is None:
+            df = spark.read.parquet(input_path)
+        plan = _load_or_compute_plan(
+            spark, df, out_dir, n_partitions, input_path,
+            assign_hash="fnv1a" if files else "xxhash64",
+        )
+    mode = plan.get("mode", "salted")
+    if mode == "rowgroup":
+        if not files:
+            raise ValueError(
+                "out_dir was encoded with the zero-shuffle rowgroup plan; "
+                "resume it with the same input_path, not df="
+            )
+    elif plan.get("assign_hash", "xxhash64") == "xxhash64":
         files = None  # prior run salted with the JVM hash — stay consistent
     elif not files:
         raise ValueError(
@@ -402,23 +578,33 @@ def encode(
         return {"n_partitions": n_total, "pending": 0, "skipped": len(done),
                 "wall_sec": 0.0}
 
-    pending_set = set(pending) if (done or limit_parts is not None) else None
-    if files:
-        assignments = _row_group_assignments(
-            files, spark.sparkContext.defaultParallelism * 2
+    if mode == "rowgroup":
+        encoded = spark.range(
+            0, len(pending), numPartitions=len(pending)
+        ).mapInArrow(
+            make_rowgroup_encoder(plan["parts"], pending, chunk_bytes), OUT_DDL
         )
-        work = spark.range(
-            0, len(assignments), numPartitions=len(assignments)
-        ).mapInArrow(make_arrow_scanner(assignments, plan, pending_set), SCAN_DDL)
     else:
-        work = apply_plan(df, plan)
-        if pending_set is not None:
-            work = work.where(F.col("part_id").isin(pending))
-
-    encoded = (
-        work.repartition(len(pending), "part_id")
-        .mapInArrow(make_encoder(chunk_bytes), OUT_DDL)
-    )
+        pending_set = set(pending) if (done or limit_parts is not None) else None
+        if files:
+            assignments = _row_group_assignments(
+                files, spark.sparkContext.defaultParallelism * 2
+            )
+            work = spark.range(
+                0, len(assignments), numPartitions=len(assignments)
+            ).mapInArrow(
+                make_arrow_scanner(assignments, plan, pending_set), SCAN_DDL
+            )
+        else:
+            if df is None:
+                df = spark.read.parquet(input_path)
+            work = apply_plan(df, plan)
+            if pending_set is not None:
+                work = work.where(F.col("part_id").isin(pending))
+        encoded = (
+            work.repartition(len(pending), "part_id")
+            .mapInArrow(make_encoder(chunk_bytes), OUT_DDL)
+        )
     chunks_dir = os.path.join(out_dir, "chunks")
     (
         encoded.write.mode("overwrite")
@@ -426,6 +612,10 @@ def encode(
         # without the conf would static-overwrite and silently destroy
         # completed partitions on resume
         .option("partitionOverwriteMode", "dynamic")
+        # chunk rows are opaque pre-packed payloads — a 128 MB parquet block
+        # buys nothing, and N concurrent writers × 128 MB row-group buffers
+        # OOM a default-1g spark-submit driver (found by verify surface 4)
+        .option("parquet.block.size", str(16 << 20))
         .partitionBy("part_id")
         .parquet(chunks_dir)
     )
@@ -451,9 +641,14 @@ def encode(
     # appending duplicates that would double-count size rollups.
     written = spark.read.parquet(chunks_dir).where(F.col("part_id").isin(pending))
     manifest = written.drop("payload").withColumn("file", F.input_file_name())
-    _write_per_part(manifest, os.path.join(out_dir, "manifest", "chunks"))
+    manifest_dir = os.path.join(out_dir, "manifest", "chunks")
+    _write_per_part(manifest, manifest_dir)
+    # parts rollup from the manifest just written (KBs), not a second scan
+    # of the chunks dir — at 100 TB that second scan is a full metadata pass
     parts = (
-        written.groupBy("part_id")
+        spark.read.parquet(manifest_dir)
+        .where(F.col("part_id").isin(pending))
+        .groupBy("part_id")
         .agg(
             F.countDistinct("chunk_id").alias("n_chunks"),
             (F.sum("n_rows") / F.lit(len(CHUNK_COLS))).cast("long").alias("n_rows"),
@@ -471,7 +666,8 @@ def encode(
         "pending": len(pending),
         "skipped": len(done),
         "chunk_bytes": chunk_bytes,
-        "scan": "arrow-fused" if files else "jvm",
+        "scan": mode if mode == "rowgroup" else (
+            "arrow-salted" if files else "jvm"),
         "wall_sec": wall,
     }
     meta_path = os.path.join(out_dir, "run_meta.json")

@@ -60,9 +60,9 @@ def main() -> None:
         "PushedFilters, ReadSchema carries only referenced columns, and the",
         "hot path sits in ≥1 WholeStageCodegen span — counted from the",
         "EXECUTED (AQE-final) plan, since the pre-execution adaptive plan",
-        "shows no `*(n)` markers at all. The encode pipeline has exactly one",
-        "shuffle (the mandated salted repartition); files-mode decode and",
-        "digest verify have none.",
+        "shows no `*(n)` markers at all. The default (rowgroup) encode",
+        "pipeline has ZERO shuffles; the salted fallback has exactly one;",
+        "files-mode decode and digest verify have none.",
         "",
     ]
     qs = entry_mod.queries()
@@ -90,7 +90,21 @@ def main() -> None:
     # stages are python-exec nodes, not codegen — the invariant there is the
     # shuffle count, asserted by tests/test_encode_decode.py)
     out += [
-        "## encode (fused pyarrow scan)",
+        "## encode — default rowgroup mode (round 2): ZERO shuffles",
+        "",
+        "```",
+        "range (pending part ids, one per task)",
+        " +- mapInArrow: pyarrow row-group read -> zero-copy chunk slices",
+        "    -> codec kernels (selection cached per part, guarded per chunk)",
+        "     +- dynamic-partition parquet write (chunks/part_id=N)",
+        "```",
+        "",
+        "part_id is planned from parquet footers (byte-balanced LPT bins of",
+        "row groups — the explicit skew control) and persisted in plan.json,",
+        "so token bytes NEVER cross a shuffle: on a 1000-executor cluster the",
+        "job's only shared resource is the object store.",
+        "",
+        "## encode — salted fallback (scan='salted' / df= inputs)",
         "",
         "```",
         "range (scan-task ids)",

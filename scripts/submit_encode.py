@@ -2,7 +2,7 @@
 
 Usage (the --py-files artifact is the package zip):
 
-    spark-submit --master local[32] \
+    spark-submit --master local[32] --driver-memory 4g \
       --py-files $(python -c "from clj_orc_spark.session import package_zip; print(package_zip())") \
       scripts/submit_encode.py --input /path/tokens.parquet --out /path/out \
       [--decode-verify]

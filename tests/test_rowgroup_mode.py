@@ -1,0 +1,123 @@
+"""Zero-shuffle rowgroup encode mode (round 2): part_id = a footer-planned,
+byte-balanced bin of parquet row groups; scan + encode fuse into ONE
+``mapInArrow`` stage so token bytes never cross a shuffle.  The salted
+n_tok-quantile repartition (skew.py) remains the path for ``df=`` inputs and
+row-group-skewed sources — both modes must round-trip bit-identically and
+resume from the same lineage contract."""
+
+import json
+import os
+
+import pytest
+
+from clj_orc_spark.pipeline import decode, encode, verify_roundtrip
+
+
+def _plan(out):
+    with open(os.path.join(out, "plan.json")) as f:
+        return json.load(f)
+
+
+def test_default_scan_is_rowgroup_zero_shuffle(spark, token_table_dir, tmp_dir):
+    src = os.path.join(token_table_dir, "tokens.parquet")
+    out = os.path.join(tmp_dir, "enc")
+    rep = encode(spark, src, out)
+    assert rep["scan"] == "rowgroup"
+    plan = _plan(out)
+    assert plan["mode"] == "rowgroup" and len(plan["parts"]) == plan["n_total"]
+    v = verify_roundtrip(spark.read.parquet(src), decode(spark, out))
+    assert v["bit_identical"] and v["total"] == 5_000
+
+
+def test_explicit_partitions_split_row_ranges(spark, token_table_dir, tmp_dir):
+    """The 5k fixture is a single row group; an explicit n_partitions=4 must
+    still yield 4 resume units (row-range splits), bit-identical."""
+    src = os.path.join(token_table_dir, "tokens.parquet")
+    out = os.path.join(tmp_dir, "enc")
+    encode(spark, src, out, n_partitions=4)
+    plan = _plan(out)
+    assert plan["n_total"] == 4
+    # splits cover disjoint row ranges of the one row group
+    ranges = sorted(
+        (lo, hi) for part in plan["parts"] for _, _, lo, hi in part
+    )
+    assert ranges[0][0] == 0 and ranges[-1][1] == 5_000
+    assert all(a[1] == b[0] for a, b in zip(ranges, ranges[1:]))
+    v = verify_roundtrip(spark.read.parquet(src), decode(spark, out))
+    assert v["bit_identical"]
+
+
+def test_rowgroup_parts_are_byte_balanced(spark, token_table_dir, tmp_dir):
+    """LPT packing: no planned bin may hold more than ~2x the mean byte
+    weight (the explicit skew control of the zero-shuffle path)."""
+    import pyarrow.parquet as pq
+
+    src = os.path.join(token_table_dir, "tokens.parquet")
+    out = os.path.join(tmp_dir, "enc")
+    encode(spark, src, out, n_partitions=4)
+    plan = _plan(out)
+    md = pq.read_metadata(src)
+    rg_rows = {i: md.row_group(i).num_rows for i in range(md.num_row_groups)}
+    loads = [
+        sum(hi - lo for _, _, lo, hi in part) for part in plan["parts"]
+    ]
+    assert sum(loads) == sum(rg_rows.values())
+    mean = sum(loads) / len(loads)
+    assert max(loads) <= 2.0 * mean
+
+
+def test_rowgroup_resume_rejects_df_input(spark, token_table_dir, tmp_dir):
+    src = os.path.join(token_table_dir, "tokens.parquet")
+    out = os.path.join(tmp_dir, "enc")
+    encode(spark, src, out, n_partitions=4, limit_parts=2)
+    with pytest.raises(ValueError, match="rowgroup"):
+        encode(spark, out_dir=out, df=spark.read.parquet(src), n_partitions=4)
+
+
+def test_salted_mode_still_roundtrips(spark, token_table_dir, tmp_dir):
+    """scan='salted' keeps the n_tok-quantile salted repartition exercised
+    end-to-end (the fallback for row-group-skewed inputs)."""
+    src = os.path.join(token_table_dir, "tokens.parquet")
+    out = os.path.join(tmp_dir, "enc")
+    rep = encode(spark, src, out, n_partitions=4, scan="salted")
+    assert rep["scan"] == "arrow-salted"
+    plan = _plan(out)
+    assert "bounds" in plan and plan.get("assign_hash") == "fnv1a"
+    v = verify_roundtrip(spark.read.parquet(src), decode(spark, out))
+    assert v["bit_identical"]
+
+
+def test_rowgroup_encode_plan_has_zero_shuffles(spark, token_table_dir):
+    """The zero-shuffle claim as a plan invariant: the rowgroup encode
+    DataFrame (range → ONE mapInArrow) must contain no Exchange node."""
+    from clj_orc_spark.pipeline.encode import (
+        OUT_DDL,
+        _local_parquet_files,
+        _rowgroup_plan,
+        make_rowgroup_encoder,
+    )
+    from clj_orc_spark.plans.explain import explain_str
+
+    src = os.path.join(token_table_dir, "tokens.parquet")
+    plan = _rowgroup_plan(_local_parquet_files(src), 4, True)
+    encoded = spark.range(
+        0, plan["n_total"], numPartitions=plan["n_total"]
+    ).mapInArrow(
+        make_rowgroup_encoder(plan["parts"], list(range(plan["n_total"])), 8 << 20),
+        OUT_DDL,
+    )
+    assert "Exchange" not in explain_str(encoded, "formatted")
+    assert encoded.count() > 0  # and it actually runs
+
+
+def test_rowgroup_plan_reused_on_resume(spark, token_table_dir, tmp_dir):
+    """Resume must consume the persisted assignment verbatim — the plan file
+    IS the lineage contract, not a recomputation."""
+    src = os.path.join(token_table_dir, "tokens.parquet")
+    out = os.path.join(tmp_dir, "enc")
+    encode(spark, src, out, n_partitions=4, limit_parts=2)
+    before = _plan(out)
+    encode(spark, src, out, n_partitions=8)  # different request, same plan
+    assert _plan(out) == before
+    v = verify_roundtrip(spark.read.parquet(src), decode(spark, out))
+    assert v["bit_identical"]
