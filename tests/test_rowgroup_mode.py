@@ -66,6 +66,48 @@ def test_rowgroup_parts_are_byte_balanced(spark, token_table_dir, tmp_dir):
     assert max(loads) <= 2.0 * mean
 
 
+def test_rowgroup_plan_balances_skewed_row_groups(tmp_dir):
+    """Pathologically skewed row-group sizes (one giant, many tiny) must
+    still pack into bins within ~2x of the heaviest unit — LPT's makespan
+    bound, the mode's explicit skew control."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clj_orc_spark.pipeline.encode import _rowgroup_plan
+
+    path = os.path.join(tmp_dir, "skewed.parquet")
+    rng = np.random.default_rng(0)
+    sizes = [20_000] + [500] * 15  # one hot row group, 15 small ones
+    writer = None
+    for n in sizes:
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([f"d{i}" for i in range(n)]),
+                "tokens": pa.array(
+                    [rng.integers(0, 100, 30).tolist() for _ in range(n)],
+                    type=pa.list_(pa.int32()),
+                ),
+                "n_tok": pa.array([30] * n, type=pa.int32()),
+                "source": pa.array(["s"] * n),
+            }
+        )
+        if writer is None:
+            writer = pq.ParquetWriter(path, tbl.schema)
+        writer.write_table(tbl, row_group_size=n)
+    writer.close()
+
+    plan = _rowgroup_plan([path], 4, explicit=False)
+    md = pq.read_metadata(path)
+    w = {i: md.row_group(i).total_byte_size for i in range(md.num_row_groups)}
+    loads = sorted(
+        sum(w[rg] for _, rg, _, _ in part) for part in plan["parts"]
+    )
+    # the hot row group is indivisible; every other bin stays small
+    assert loads[-1] >= w[0]  # heaviest bin holds the hot unit
+    assert loads[-2] <= 0.2 * loads[-1]  # tiny units never pile onto it
+
+
 def test_rowgroup_resume_rejects_df_input(spark, token_table_dir, tmp_dir):
     src = os.path.join(token_table_dir, "tokens.parquet")
     out = os.path.join(tmp_dir, "enc")
