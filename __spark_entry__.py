@@ -200,6 +200,29 @@ def _q_dedup_exact(spark, sf):  # exact dedup via content hash
     )
 
 
+def _q_window_rank(spark, sf):  # window function: top-2 docs per lang
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 2)
+        .select("lang", "rnk", "doc_id", "n_chars")
+    )
+
+
+def _q_rollup_chars(spark, sf):  # ROLLUP grouping sets over source x lang
+    return (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .rollup("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").cast("long").alias("total_chars"))
+    )
+
+
 def _q_except_all_docs(spark, sf):  # multiset set-op (exceptAll), §2.3
     docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "lang")
     short = (
@@ -446,6 +469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_metrics": _shipped(_q_rollup_metrics),
         "length_buckets": _shipped(_q_length_buckets),
         "dedup_exact": _shipped(_q_dedup_exact),
+        "window_rank": _shipped(_q_window_rank),
+        "rollup_chars": _shipped(_q_rollup_chars),
         "except_all_docs": _shipped(_q_except_all_docs),
         "word_count": _shipped(_q_word_count),
         "quality_score": _shipped(_q_quality_score),
@@ -527,6 +552,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id"
             " FROM documents GROUP BY md5(text) HAVING count(*) > 1"
+        ),
+        "window_rank": (
+            "SELECT lang, rnk, doc_id, n_chars FROM ("
+            "  SELECT lang, CAST(row_number() OVER ("
+            "    PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC)"
+            "    AS INT) AS rnk, doc_id, n_chars FROM documents)"
+            " WHERE rnk <= 2"
+        ),
+        "rollup_chars": (
+            "SELECT source, lang, count(*) AS n_docs,"
+            " CAST(sum(n_chars) AS BIGINT) AS total_chars"
+            " FROM documents GROUP BY ROLLUP(source, lang)"
         ),
         "except_all_docs": (
             "SELECT doc_id, lang FROM documents"

@@ -176,3 +176,35 @@ def test_headline_queries_run_in_codegen(spark):
     for name in ("filter_agg", "orders_join", "pricing_summary", "embed_topk"):
         df = qs[name](spark, "/root/testdata/sf0.001")
         assert executed_codegen_count(df) >= 1, name
+
+
+# --- token-table source (parquet path / Iceberg identifier) -----------------
+
+
+def test_read_token_table_parquet(spark, token_table_dir):
+    from clj_orc_spark.sources import read_token_table
+
+    df = read_token_table(spark, os.path.join(token_table_dir, "tokens.parquet"))
+    assert df.columns == ["doc_id", "tokens", "n_tok", "source"]
+    assert df.count() == 5_000
+
+
+def test_read_token_table_rejects_wrong_schema(spark):
+    import pytest
+
+    from clj_orc_spark.sources import validate_token_schema
+
+    df = spark.createDataFrame([("a", 1)], "doc_id string, n_tok int")
+    with pytest.raises(ValueError, match="missing column 'tokens'"):
+        validate_token_schema(df)
+
+
+def test_read_token_table_iceberg_gated(spark):
+    """No Iceberg connector in this container: the identifier path must fail
+    with a message naming the missing runtime jar, not a raw Py4J error."""
+    import pytest
+
+    from clj_orc_spark.sources import read_token_table
+
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        read_token_table(spark, "catalog.db.tokens")
