@@ -22,12 +22,37 @@ from ..kernels import crc32, decode_any
 
 TOKEN_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
 
+#: logical output column → physical payload rows it needs
+_PHYSICAL = {
+    "doc_id": ("doc_id",),
+    "tokens": ("token_values", "offsets"),
+    "n_tok": ("n_tok",),
+    "source": ("source",),
+}
+_LOGICAL_ORDER = ("doc_id", "tokens", "n_tok", "source")
 
-def decode_chunk_table(tbl: pa.Table) -> pa.Table:
-    """Decode one chunk (five column rows) back to token-table rows."""
+
+def _select_ddl(columns: list[str]) -> str:
+    types = dict(
+        doc_id="string", tokens="array<int>", n_tok="int", source="string"
+    )
+    return ", ".join(f"{c} {types[c]}" for c in columns)
+
+
+def decode_chunk_table(tbl: pa.Table, columns: list[str] | None = None) -> pa.Table:
+    """Decode one chunk's column rows back to token-table rows.
+
+    ``columns`` prunes the decode: only the payloads backing the requested
+    logical columns are CRC-checked and decoded — asking for metadata
+    columns (doc_id/n_tok/source) skips the token_values kernel entirely,
+    which is ~97% of the decode work."""
+    wanted = list(columns) if columns is not None else list(_LOGICAL_ORDER)
+    needed = {p for c in wanted for p in _PHYSICAL[c]}
     cols = {}
     for i in range(tbl.num_rows):
         name = tbl.column("col")[i].as_py()
+        if name not in needed:
+            continue
         payload = tbl.column("payload")[i].as_py()
         meta = json.loads(tbl.column("meta")[i].as_py())
         expected_crc = tbl.column("crc")[i].as_py()
@@ -36,31 +61,32 @@ def decode_chunk_table(tbl: pa.Table) -> pa.Table:
                 f"CRC mismatch on chunk {tbl.column('chunk_id')[0].as_py()} col {name}"
             )
         cols[name] = decode_any(payload, meta)
-    missing = {"doc_id", "source", "n_tok", "token_values", "offsets"} - set(cols)
+    missing = needed - set(cols)
     if missing:
         raise IOError(f"chunk incomplete, missing columns: {missing}")
 
-    flat = cols["token_values"].astype(np.int32, copy=False)
-    offsets = cols["offsets"].astype(np.int64, copy=False)
-    n = len(offsets) - 1
-    if n and int(offsets[-1]) > np.iinfo(np.int32).max:
-        # Arrow list<int32> offsets are int32; a chunk encoded with a huge
-        # chunk_bytes setting would wrap silently — refuse loudly instead
-        raise IOError(
-            f"chunk holds {int(offsets[-1])} token values, beyond int32 list "
-            "offsets; re-encode with chunk_bytes <= 8 GiB"
-        )
-    tokens = pa.ListArray.from_arrays(
-        pa.array(offsets.astype(np.int32)), pa.array(flat, type=pa.int32())
-    )
-    return pa.table(
-        {
-            "doc_id": cols["doc_id"].to_arrow(),
-            "tokens": tokens,
-            "n_tok": pa.array(cols["n_tok"].astype(np.int32), type=pa.int32()),
-            "source": cols["source"].to_arrow(),
-        }
-    )
+    out = {}
+    for c in wanted:
+        if c == "tokens":
+            flat = cols["token_values"].astype(np.int32, copy=False)
+            offsets = cols["offsets"].astype(np.int64, copy=False)
+            n = len(offsets) - 1
+            if n and int(offsets[-1]) > np.iinfo(np.int32).max:
+                # Arrow list<int32> offsets are int32; a chunk encoded with a
+                # huge chunk_bytes setting would wrap silently — refuse loudly
+                raise IOError(
+                    f"chunk holds {int(offsets[-1])} token values, beyond "
+                    "int32 list offsets; re-encode with chunk_bytes <= 8 GiB"
+                )
+            out[c] = pa.ListArray.from_arrays(
+                pa.array(offsets.astype(np.int32)),
+                pa.array(flat, type=pa.int32()),
+            )
+        elif c == "n_tok":
+            out[c] = pa.array(cols["n_tok"].astype(np.int32), type=pa.int32())
+        else:
+            out[c] = cols[c].to_arrow()
+    return pa.table(out)
 
 
 def _chunk_files(chunks_dir: str, part_ids: list[int] | None) -> list[str]:
@@ -106,7 +132,7 @@ def _manifest_files(spark, out_dir: str, part_ids: list[int] | None) -> list[str
 
 
 def decode(spark, out_dir: str, part_ids: list[int] | None = None,
-           mode: str = "files"):
+           mode: str = "files", columns: list[str] | None = None):
     """Distributed decode: chunk rows → token-table DataFrame.
 
     ``mode="files"`` (default, the scale path): one task per encoded chunk
@@ -119,16 +145,27 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
     ``mode="shuffle"``: groupBy(chunk_id).applyInArrow — keeps all logic in
     Spark's scan (predicate pushdown on part_id etc.); the fallback when the
     chunk store is not file-addressable.
+
+    ``columns`` prunes the decode to the requested logical columns (any of
+    doc_id/tokens/n_tok/source) — the engine-format analog of parquet
+    column pruning: unneeded payloads are never CRC'd or decoded, so e.g.
+    a doc_id+n_tok scan skips the token kernels (~97% of decode CPU).
     """
     import os
 
     from pyspark.sql import functions as F
 
+    if columns is not None:
+        bad = set(columns) - set(_LOGICAL_ORDER)
+        if bad:
+            raise ValueError(f"unknown columns: {sorted(bad)}")
+        columns = [c for c in _LOGICAL_ORDER if c in set(columns)]
+    ddl = _select_ddl(columns) if columns is not None else TOKEN_DDL
     chunks_dir = os.path.join(out_dir, "chunks")
     from .encode import _has_parquet
 
     if not _has_parquet(spark, chunks_dir):  # empty run wrote no chunks
-        return spark.createDataFrame([], TOKEN_DDL)
+        return spark.createDataFrame([], ddl)
 
     if mode == "shuffle":
         chunks = spark.read.parquet(chunks_dir)
@@ -136,15 +173,15 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
             chunks = chunks.where(F.col("part_id").isin(list(part_ids)))
 
         def decode_group(tbl: pa.Table) -> pa.Table:
-            return decode_chunk_table(tbl)
+            return decode_chunk_table(tbl, columns)
 
-        return chunks.groupBy("chunk_id").applyInArrow(decode_group, TOKEN_DDL)
+        return chunks.groupBy("chunk_id").applyInArrow(decode_group, ddl)
 
     files = _manifest_files(spark, out_dir, part_ids)
     if files is None:
         files = _chunk_files(chunks_dir, part_ids)
     if not files:
-        return spark.createDataFrame([], TOKEN_DDL)
+        return spark.createDataFrame([], ddl)
 
     def decode_files(batches):
         import pyarrow.parquet as pq
@@ -155,9 +192,9 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
                 ids = tbl.column("chunk_id").to_numpy()
                 for cid in np.unique(ids):
                     group = tbl.filter(pa.compute.equal(tbl.column("chunk_id"), cid))
-                    yield from decode_chunk_table(group).to_batches()
+                    yield from decode_chunk_table(group, columns).to_batches()
 
     return (
         spark.range(0, len(files), numPartitions=len(files))
-        .mapInArrow(decode_files, TOKEN_DDL)
+        .mapInArrow(decode_files, ddl)
     )

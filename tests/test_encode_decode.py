@@ -107,3 +107,33 @@ def test_manifest_records_selections(spark, token_table_dir, tmp_dir):
 
     sel = json.loads(row["selection"])
     assert sel["codec"] == row["codec"] and "estimates" in sel
+
+
+def test_decode_column_pruning(spark, token_table_dir, tmp_dir):
+    """decode(columns=...) returns exactly the requested projection in both
+    modes, equal to projecting the full decode — the engine-format analog of
+    parquet column pruning (token payloads never decoded)."""
+    out = os.path.join(tmp_dir, "enc")
+    src = os.path.join(token_table_dir, "tokens.parquet")
+    encode(spark, src, out, n_partitions=4)
+
+    full = decode(spark, out).select("doc_id", "n_tok")
+    for mode in ("files", "shuffle"):
+        pruned = decode(spark, out, mode=mode, columns=["doc_id", "n_tok"])
+        assert pruned.columns == ["doc_id", "n_tok"]
+        assert pruned.exceptAll(full).count() == 0
+        assert full.exceptAll(pruned).count() == 0
+
+    # tokens-only projection still reassembles the list column correctly
+    toks = decode(spark, out, columns=["tokens"])
+    assert toks.columns == ["tokens"]
+    src_sum = spark.read.parquet(src).selectExpr(
+        "sum(aggregate(tokens, 0L, (a, x) -> a + x)) AS s").collect()[0]["s"]
+    dec_sum = toks.selectExpr(
+        "sum(aggregate(tokens, 0L, (a, x) -> a + x)) AS s").collect()[0]["s"]
+    assert src_sum == dec_sum
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown columns"):
+        decode(spark, out, columns=["nope"])
