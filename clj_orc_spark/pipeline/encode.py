@@ -480,6 +480,40 @@ def _write_per_part(df, path: str) -> None:
     )
 
 
+def _commit_manifest(spark, out_dir: str, chunks_dir: str,
+                     pending: list[int]) -> None:
+    """Manifest commit for a wave of partitions: chunk records (payload
+    pruned — parquet column pruning makes this read cheap, and ``file``
+    records each chunk's physical path so decode/resume never need a
+    filesystem walk) + per-partition completion markers.  Both are written
+    with per-part_id dynamic overwrite, never blind append: a crash between
+    the two writes leaves chunk records for an incomplete part, and the
+    resumed run *replaces* them instead of appending duplicates that would
+    double-count size rollups.  The parts rollup reads the manifest just
+    written (KBs), not a second chunks-dir scan — at 100 TB that second
+    scan is a full metadata pass."""
+    from pyspark.sql import functions as F
+
+    written = spark.read.parquet(chunks_dir).where(F.col("part_id").isin(pending))
+    manifest = written.drop("payload").withColumn("file", F.input_file_name())
+    manifest_dir = os.path.join(out_dir, "manifest", "chunks")
+    _write_per_part(manifest, manifest_dir)
+    parts = (
+        spark.read.parquet(manifest_dir)
+        .where(F.col("part_id").isin(pending))
+        .groupBy("part_id")
+        .agg(
+            F.countDistinct("chunk_id").alias("n_chunks"),
+            (F.sum("n_rows") / F.lit(len(CHUNK_COLS))).cast("long").alias("n_rows"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+        )
+        .withColumn("status", F.lit("complete"))
+        .withColumn("completed_at", F.lit(time.time()))
+    )
+    _write_per_part(parts, os.path.join(out_dir, "manifest", "parts"))
+
+
 def completed_part_ids(spark, out_dir: str) -> set[int]:
     parts_dir = os.path.join(out_dir, "manifest", "parts")
     if fsio.is_local(parts_dir) and not os.path.isdir(parts_dir):
@@ -632,33 +666,7 @@ def encode(
                 "skipped": len(done), "chunk_bytes": chunk_bytes,
                 "wall_sec": time.time() - t0}
 
-    # manifest: chunk records (payload pruned — parquet column pruning makes
-    # this read cheap, and ``file`` records each chunk's physical path so
-    # decode/resume never need a filesystem walk) + per-partition completion
-    # markers.  Both are written with per-part_id dynamic overwrite, never
-    # blind append: a crash between the two writes leaves chunk records for
-    # an incomplete part, and the resumed run *replaces* them instead of
-    # appending duplicates that would double-count size rollups.
-    written = spark.read.parquet(chunks_dir).where(F.col("part_id").isin(pending))
-    manifest = written.drop("payload").withColumn("file", F.input_file_name())
-    manifest_dir = os.path.join(out_dir, "manifest", "chunks")
-    _write_per_part(manifest, manifest_dir)
-    # parts rollup from the manifest just written (KBs), not a second scan
-    # of the chunks dir — at 100 TB that second scan is a full metadata pass
-    parts = (
-        spark.read.parquet(manifest_dir)
-        .where(F.col("part_id").isin(pending))
-        .groupBy("part_id")
-        .agg(
-            F.countDistinct("chunk_id").alias("n_chunks"),
-            (F.sum("n_rows") / F.lit(len(CHUNK_COLS))).cast("long").alias("n_rows"),
-            F.sum("enc_bytes").alias("enc_bytes"),
-            F.sum("raw_bytes").alias("raw_bytes"),
-        )
-        .withColumn("status", F.lit("complete"))
-        .withColumn("completed_at", F.lit(time.time()))
-    )
-    _write_per_part(parts, os.path.join(out_dir, "manifest", "parts"))
+    _commit_manifest(spark, out_dir, chunks_dir, pending)
 
     wall = time.time() - t0
     report = {

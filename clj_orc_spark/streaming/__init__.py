@@ -3,6 +3,7 @@
 from .stateful import running_event_totals, stream_running_totals  # noqa: F401
 from .stream import (  # noqa: F401
     stream_decode,
+    stream_encode,
     stream_events_from_dir,
     windowed_event_counts,
 )

@@ -15,6 +15,10 @@ equivalents:
 * :func:`windowed_event_counts` — event-time tumbling-window aggregation with
   a watermark for late data: the standard streaming-analytics surface the
   reference lacks entirely (SURVEY.md §2.3).
+* :func:`stream_encode` — the ingest direction: token-table parquet files
+  land → each micro-batch encodes into the SAME chunks+manifest layout the
+  batch pipeline writes, so batch ``decode``/``verify``/resume all work on a
+  streaming-built store.
 """
 
 from __future__ import annotations
@@ -60,6 +64,74 @@ def stream_decode(
     writer = (
         stream.writeStream.foreachBatch(handle_batch)
         .option("checkpointLocation", os.path.join(sink_dir, "_checkpoint"))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_encode(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int = 8,
+    parts_per_batch: int | None = None,
+    chunk_bytes: int | None = None,
+    available_now: bool = True,
+):
+    """Structured-Streaming encode: new token-table files → encoded chunks.
+
+    Each micro-batch salts rows across ``parts_per_batch`` partitions inside
+    a batch-scoped part_id namespace (``batch_id * K + xxhash64(doc_id) % K``)
+    — deterministic given batch content, so a replayed batch (foreachBatch
+    at-least-once) rewrites the SAME partitions via dynamic partition
+    overwrite instead of duplicating them: the streaming analog of the batch
+    pipeline's per-partition lineage.  Output layout, manifest, decode and
+    verify are identical to the batch path.
+    """
+    from ..pipeline.encode import (
+        DEFAULT_CHUNK_BYTES,
+        OUT_DDL,
+        _commit_manifest,
+        make_encoder,
+    )
+
+    cb = chunk_bytes or DEFAULT_CHUNK_BYTES
+    k = parts_per_batch or spark.sparkContext.defaultParallelism
+    chunks_dir = os.path.join(out_dir, "chunks")
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        work = batch_df.withColumn(
+            "part_id",
+            (
+                F.lit(int(batch_id) * k)
+                + F.pmod(F.xxhash64(F.col("doc_id")), F.lit(k))
+            ).cast("int"),
+        )
+        encoded = work.repartition(k, "part_id").mapInArrow(
+            make_encoder(cb), OUT_DDL
+        )
+        (
+            encoded.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("parquet.block.size", str(16 << 20))
+            .partitionBy("part_id")
+            .parquet(chunks_dir)
+        )
+        spark_session = batch_df.sparkSession
+        pending = list(range(int(batch_id) * k, int(batch_id) * k + k))
+        _commit_manifest(spark_session, out_dir, chunks_dir, pending)
+
+    writer = stream.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", os.path.join(out_dir, "_checkpoint")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

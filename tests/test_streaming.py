@@ -82,3 +82,31 @@ def test_windowed_event_counts(spark, tmp_dir):
     s_rows = {tuple(r) for r in streamed.collect()}
     b_rows = {tuple(r) for r in static.collect()}
     assert s_rows == b_rows and len(s_rows) > 0
+
+
+def test_stream_encode_builds_decodable_store(spark, token_table_dir, tmp_dir):
+    """Ingest direction: files land → micro-batches encode into the SAME
+    chunks+manifest layout; batch decode + bit-identity verify work on the
+    streaming-built store."""
+    from clj_orc_spark.pipeline import decode
+    from clj_orc_spark.streaming import stream_encode
+
+    src = spark.read.parquet(os.path.join(token_table_dir, "tokens.parquet"))
+    in_dir = os.path.join(tmp_dir, "landing")
+    # three landing files -> three micro-batches at maxFilesPerTrigger=1
+    src.repartition(3).write.parquet(in_dir)
+
+    out = os.path.join(tmp_dir, "stream-enc")
+    q = stream_encode(spark, in_dir, out, max_files_per_trigger=1,
+                      parts_per_batch=2)
+    q.awaitTermination(180)
+
+    v = verify_roundtrip(src, decode(spark, out))
+    assert v["bit_identical"] and v["total"] == 5_000, v
+
+    # restart with no new files: checkpoint replays nothing, store unchanged
+    q2 = stream_encode(spark, in_dir, out, max_files_per_trigger=1,
+                       parts_per_batch=2)
+    q2.awaitTermination(120)
+    v2 = verify_roundtrip(src, decode(spark, out))
+    assert v2["bit_identical"] and v2["extra"] == 0, v2
