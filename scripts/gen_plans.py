@@ -20,6 +20,8 @@ HEADLINERS = {
     "orders_join": "broadcast hash join — no shuffle of the fact side",
     "pricing_summary": "TPC-H Q1-style agg: pushdown + two-phase hash agg",
     "embed_topk": "broadcast query vector + codegen'd dot product + TakeOrdered",
+    "window_rank": "row_number window: single shuffle on the partition key, "
+                   "rank filter pushed into WindowGroupLimit",
 }
 
 

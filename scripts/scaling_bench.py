@@ -239,7 +239,8 @@ All runs:
   each partition pays full codec selection and FSST symbol-table build;
   later chunks reuse them (honesty guard still per-chunk).  Single-core
   chunk+encode on a real 151 MB row group: 31.6 → 131 MB/s (4.2×) at +0.26%
-  encoded size; pyarrow row-group read ~176 MB/s single-core.
+  encoded size; pyarrow row-group read ~176 MB/s and full chunk decode
+  ~193 MB/s single-core on the same data.
 - deployment: spark-submit --py-files (scripts/submit_encode.py) verified,
   including resume across separate submit invocations.
 """
