@@ -187,14 +187,17 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
         import pyarrow.parquet as pq
 
         for batch in batches:
-            for fidx in batch.column(0).to_pylist():
-                tbl = pq.read_table(files[fidx])
+            for path in batch.column(0).to_pylist():
+                tbl = pq.read_table(path)
                 ids = tbl.column("chunk_id").to_numpy()
                 for cid in np.unique(ids):
                     group = tbl.filter(pa.compute.equal(tbl.column("chunk_id"), cid))
                     yield from decode_chunk_table(group, columns).to_batches()
 
-    return (
-        spark.range(0, len(files), numPartitions=len(files))
-        .mapInArrow(decode_files, ddl)
+    # each task receives its OWN file path as data — a closure over the full
+    # file list would ship every task a copy of all paths (millions at 100 TB)
+    work = spark.createDataFrame(
+        spark.sparkContext.parallelize([(f,) for f in files], len(files)),
+        "path string",
     )
+    return work.mapInArrow(decode_files, ddl)

@@ -287,10 +287,24 @@ def _rowgroup_plan(files: list[str], n_partitions: int,
     return {"mode": "rowgroup", "n_total": n_bins, "parts": bins}
 
 
-def make_rowgroup_encoder(
-    parts: list[list[list]], pending: list[int], chunk_bytes: int
-):
-    """ONE-stage scan+encode for ``mapInArrow`` over ``spark.range``.
+def rowgroup_work_df(spark, parts: list[list[list]], pending: list[int]):
+    """One row per pending partition: ``(pid, units_json)``.
+
+    Each task's row-group assignment travels as DATA, not as a function
+    closure — a closure over the full plan would ship EVERY task a pickled
+    copy of ALL assignments (at 10^12 scale: ~10^6 row-group units ≈ 100 MB
+    per task).  ``parallelize(rows, len(rows))`` puts exactly one row in
+    each slice, keeping task→partition 1:1.  (Past ~10^6 parts the plan
+    belongs in a parquet sidecar rather than plan.json.)"""
+    rows = [(int(p), json.dumps(parts[p])) for p in pending]
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, len(rows)),
+        "pid int, units string",
+    )
+
+
+def make_rowgroup_encoder(chunk_bytes: int):
+    """ONE-stage scan+encode for ``mapInArrow`` over :func:`rowgroup_work_df`.
 
     Each task owns one ``part_id`` (a planned bin of row groups): it reads
     its row groups with pyarrow, feeds them straight into the byte-budget
@@ -303,11 +317,13 @@ def make_rowgroup_encoder(
         import pyarrow.parquet as pq
 
         for batch in batches:
-            for idx in batch.column(0).to_pylist():
-                pid = pending[int(idx)]
+            for pid, units_json in zip(
+                batch.column(0).to_pylist(), batch.column(1).to_pylist()
+            ):
+                pid = int(pid)
                 seq = 0
                 sel_cache: dict = {}
-                for f, rg, lo, hi in parts[pid]:
+                for f, rg, lo, hi in json.loads(units_json):
                     tbl = pq.ParquetFile(f).read_row_group(
                         int(rg),
                         columns=["doc_id", "tokens", "n_tok", "source"],
@@ -348,12 +364,19 @@ def make_rowgroup_encoder(
     return run
 
 
-def make_arrow_scanner(
-    assignments: list[list[tuple[str, int]]],
-    plan: dict,
-    pending: set[int] | None,
-):
-    """Fused pyarrow scan + plan assignment for ``mapInArrow``.
+def scan_work_df(spark, assignments: list[list[tuple[str, int]]]):
+    """One row per scan task: ``(tid, units_json)`` — assignments travel as
+    data, not closure (same reasoning as :func:`rowgroup_work_df`)."""
+    rows = [(i, json.dumps(a)) for i, a in enumerate(assignments)]
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, len(rows)),
+        "tid int, units string",
+    )
+
+
+def make_arrow_scanner(plan: dict, pending: set[int] | None):
+    """Fused pyarrow scan + plan assignment for ``mapInArrow`` over
+    :func:`scan_work_df`.
 
     Replaces the JVM parquet scan feeding the salted repartition: each task
     reads its row groups with pyarrow (measured ~1.5x the JVM nested-list
@@ -373,8 +396,8 @@ def make_arrow_scanner(
         from ..operators.dedup import fnv1a_slices
 
         for batch in batches:
-            for tid in batch.column(0).to_pylist():
-                for path, rg in assignments[tid]:
+            for units_json in batch.column(1).to_pylist():
+                for path, rg in json.loads(units_json):
                     tbl = pq.ParquetFile(path).read_row_group(
                         int(rg), columns=["doc_id", "tokens", "n_tok", "source"]
                     )
@@ -613,10 +636,8 @@ def encode(
                 "wall_sec": 0.0}
 
     if mode == "rowgroup":
-        encoded = spark.range(
-            0, len(pending), numPartitions=len(pending)
-        ).mapInArrow(
-            make_rowgroup_encoder(plan["parts"], pending, chunk_bytes), OUT_DDL
+        encoded = rowgroup_work_df(spark, plan["parts"], pending).mapInArrow(
+            make_rowgroup_encoder(chunk_bytes), OUT_DDL
         )
     else:
         pending_set = set(pending) if (done or limit_parts is not None) else None
@@ -624,10 +645,8 @@ def encode(
             assignments = _row_group_assignments(
                 files, spark.sparkContext.defaultParallelism * 2
             )
-            work = spark.range(
-                0, len(assignments), numPartitions=len(assignments)
-            ).mapInArrow(
-                make_arrow_scanner(assignments, plan, pending_set), SCAN_DDL
+            work = scan_work_df(spark, assignments).mapInArrow(
+                make_arrow_scanner(plan, pending_set), SCAN_DDL
             )
         else:
             if df is None:

@@ -137,17 +137,15 @@ def test_rowgroup_encode_plan_has_zero_shuffles(spark, token_table_dir):
         _local_parquet_files,
         _rowgroup_plan,
         make_rowgroup_encoder,
+        rowgroup_work_df,
     )
     from clj_orc_spark.plans.explain import explain_str
 
     src = os.path.join(token_table_dir, "tokens.parquet")
     plan = _rowgroup_plan(_local_parquet_files(src), 4, True)
-    encoded = spark.range(
-        0, plan["n_total"], numPartitions=plan["n_total"]
-    ).mapInArrow(
-        make_rowgroup_encoder(plan["parts"], list(range(plan["n_total"])), 8 << 20),
-        OUT_DDL,
-    )
+    encoded = rowgroup_work_df(
+        spark, plan["parts"], list(range(plan["n_total"]))
+    ).mapInArrow(make_rowgroup_encoder(8 << 20), OUT_DDL)
     assert "Exchange" not in explain_str(encoded, "formatted")
     assert encoded.count() > 0  # and it actually runs
 
