@@ -428,6 +428,41 @@ def _q_encode_roundtrip(spark, sf):  # flagship engine op (non-SQL → rows-only
     return entry(spark)
 
 
+def _q_roundtrip_sql(spark, sf):
+    """Bit-identity as an ORACLE-CHECKED property: derive a token table from
+    ``documents`` with pure SQL (word lengths), push it through the FULL
+    encode → decode engine, and aggregate the DECODED rows.  The DuckDB
+    oracle computes the same aggregate from the raw text — the value hash
+    matches iff the engine round-trip preserved every token array."""
+    import shutil
+
+    from clj_orc_spark.pipeline import decode, encode
+
+    toks = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .selectExpr(
+            "CAST(doc_id AS string) AS doc_id",
+            "transform(split(text, ' '), w -> length(w)) AS tokens",
+            "CAST(size(split(text, ' ')) AS int) AS n_tok",
+            "source",
+        )
+    )
+    out = f"/tmp/clj-orc-roundtrip-sql-{os.path.basename(os.path.normpath(sf))}"
+    shutil.rmtree(out, ignore_errors=True)
+    encode(spark, df=toks, out_dir=out, n_partitions=4, resume=False)
+    decoded = decode(spark, out)
+    return (
+        decoded.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_words"),
+            F.sum(
+                F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x)
+            ).cast("long").alias("total_word_chars"),
+        )
+    )
+
+
 def _q_codec_manifest(spark, sf):  # codec selection audit (non-SQL → rows-only)
     import shutil
 
@@ -489,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": _shipped(_q_ivf_ann),
         "quality_filter": _shipped(_q_quality_filter),
         "encode_roundtrip": _shipped(_q_encode_roundtrip),
+        "roundtrip_sql": _shipped(_q_roundtrip_sql),
         "codec_manifest": _shipped(_q_codec_manifest),
     }
 
@@ -552,6 +588,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id"
             " FROM documents GROUP BY md5(text) HAVING count(*) > 1"
+        ),
+        "roundtrip_sql": (
+            # the Spark side routes these values through encode->decode;
+            # equality of the value hash IS the bit-identity check
+            "SELECT source, count(*) AS n_docs,"
+            " CAST(sum(len(string_split(text, ' '))) AS BIGINT)"
+            "  AS total_words,"
+            " CAST(sum(list_aggregate(list_transform(string_split(text, ' '),"
+            "  w -> length(w)), 'sum')) AS BIGINT) AS total_word_chars"
+            " FROM documents GROUP BY source"
         ),
         "window_rank": (
             "SELECT lang, rnk, doc_id, n_chars FROM ("
