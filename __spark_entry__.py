@@ -450,7 +450,9 @@ def _q_roundtrip_sql(spark, sf):
     out = f"/tmp/clj-orc-roundtrip-sql-{os.path.basename(os.path.normpath(sf))}"
     shutil.rmtree(out, ignore_errors=True)
     encode(spark, df=toks, out_dir=out, n_partitions=4, resume=False)
-    decoded = decode(spark, out)
+    # column-pruned decode (doc_id payloads never touched) is ALSO under
+    # the oracle: pruning must not perturb the surviving columns
+    decoded = decode(spark, out, columns=["tokens", "n_tok", "source"])
     return (
         decoded.groupBy("source")
         .agg(
