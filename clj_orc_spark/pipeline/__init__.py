@@ -7,5 +7,6 @@ from .verify import (  # noqa: F401
     encoded_size_bytes,
     size_gate,
     verify_digest,
+    verify_digest_fast,
     verify_roundtrip,
 )
