@@ -7,6 +7,5 @@ from .verify import (  # noqa: F401
     encoded_size_bytes,
     size_gate,
     verify_digest,
-    verify_digest_fast,
     verify_roundtrip,
 )

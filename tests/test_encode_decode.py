@@ -139,23 +139,23 @@ def test_decode_column_pruning(spark, token_table_dir, tmp_dir):
         decode(spark, out, columns=["nope"])
 
 
-def test_verify_digest_fast_matches_and_detects(spark, token_table_dir, tmp_dir):
-    """Arrow-native set digest: agrees with the JVM digest on a clean store,
-    and flips on a single corrupted token value (CRC updated so only the
-    digest can catch it)."""
+def test_digest_detects_single_flipped_token(spark, token_table_dir, tmp_dir):
+    """A single corrupted token value — with its chunk CRC updated so payload
+    integrity checks can't catch it — must flip the set digest."""
     import glob
     import zlib
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from clj_orc_spark.pipeline import verify_digest_fast
+    from clj_orc_spark.pipeline import verify_digest
 
     src = os.path.join(token_table_dir, "tokens.parquet")
     out = os.path.join(tmp_dir, "enc")
     encode(spark, src, out, n_partitions=4)
+    source = spark.read.parquet(src)
 
-    v = verify_digest_fast(spark, src, out)
+    v = verify_digest(source, decode(spark, out))
     assert v["bit_identical"] and v["total"] == 5_000, v
 
     f = sorted(glob.glob(os.path.join(out, "chunks", "part_id=*", "*.parquet")))[0]
@@ -170,29 +170,4 @@ def test_verify_digest_fast_matches_and_detects(spark, token_table_dir, tmp_dir)
     t = t.set_column(t.schema.get_field_index("crc"), "crc",
                      pa.array(crcs, pa.int64()))
     pq.write_table(t, f)
-    assert not verify_digest_fast(spark, src, out)["bit_identical"]
-
-
-def test_row_hashes_distinguish_row_boundaries():
-    """Token arrays that concatenate identically must hash differently:
-    [1,2]+[3] vs [1]+[2,3] — the per-row positional weighting matters."""
-    import numpy as np
-    import pyarrow as pa
-
-    from clj_orc_spark.pipeline.verify import _row_hashes
-
-    def tab(tokens):
-        n = [len(t) for t in tokens]
-        return pa.table({
-            "doc_id": pa.array([f"d{i}" for i in range(len(tokens))]),
-            "tokens": pa.array(tokens, type=pa.list_(pa.int32())),
-            "n_tok": pa.array(n, type=pa.int32()),
-            "source": pa.array(["s"] * len(tokens)),
-        })
-
-    a = _row_hashes(tab([[1, 2], [3]]))
-    b = _row_hashes(tab([[1], [2, 3]]))
-    assert not np.array_equal(a, b)
-    # empty rows hash deterministically and differ from 1-token rows
-    c = _row_hashes(tab([[], [0]]))
-    assert c[0] != c[1]
+    assert not verify_digest(source, decode(spark, out))["bit_identical"]
