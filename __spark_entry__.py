@@ -465,6 +465,28 @@ def _q_roundtrip_sql(spark, sf):
     )
 
 
+def _q_multimodal_features(spark, sf):  # real-codec media path (rows-only)
+    """Deterministic BMP/WAV payloads → REAL decode + feature extraction
+    (operators/multimodal.py, fake=False) → per-kind rollup.  Rows-only:
+    feature math is numpy, not SQL-expressible."""
+    from clj_orc_spark.operators.multimodal import (
+        extract_features,
+        real_media_table,
+    )
+
+    media = real_media_table(spark, n_rows=32, seed=42)
+    feats = extract_features(media, fake=False)
+    return (
+        feats.select("kind", F.aggregate(
+            "feature", F.lit(0.0), lambda a, x: a + F.abs(x)
+        ).alias("l1"))
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.round(F.avg("l1"), 3).alias("avg_l1"))
+        .orderBy("kind")
+    )
+
+
 def _q_codec_manifest(spark, sf):  # codec selection audit (non-SQL → rows-only)
     import shutil
 
@@ -527,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _shipped(_q_quality_filter),
         "encode_roundtrip": _shipped(_q_encode_roundtrip),
         "roundtrip_sql": _shipped(_q_roundtrip_sql),
+        "multimodal_features": _shipped(_q_multimodal_features),
         "codec_manifest": _shipped(_q_codec_manifest),
     }
 
