@@ -131,8 +131,70 @@ def _manifest_files(spark, out_dir: str, part_ids: list[int] | None) -> list[str
     ]
 
 
+def _stat_pruned_work(spark, out_dir: str, part_ids, doc_id_range,
+                      n_tok_range):
+    """Zone-map pruning: (file, [chunk_ids]) for chunks whose recorded
+    per-column min/max intersects the predicate — the ORC column-statistics
+    analog, answered entirely from the payload-pruned manifest.  Returns
+    None when the store predates stats recording (decode everything)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .encode import _has_parquet
+
+    mdir = os.path.join(out_dir, "manifest", "chunks")
+    if not _has_parquet(spark, mdir):
+        return None
+    m = spark.read.parquet(mdir)
+    if "stats" not in m.columns or "file" not in m.columns:
+        return None
+    if part_ids is not None:
+        m = m.where(F.col("part_id").isin([int(p) for p in part_ids]))
+
+    def survivors(col_name, lo, hi, cast):
+        rows = m.where(F.col("col") == col_name).select(
+            "chunk_id",
+            F.get_json_object("stats", "$.min").cast(cast).alias("mn"),
+            F.get_json_object("stats", "$.max").cast(cast).alias("mx"),
+        )
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("mx") >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col("mn") <= F.lit(hi))
+        # stat-less chunk (NULL min): conservative keep
+        return rows.where(F.col("mn").isNull() | cond).select("chunk_id")
+
+    kept = None
+    if doc_id_range is not None:
+        kept = survivors("doc_id", doc_id_range[0], doc_id_range[1], "string")
+    if n_tok_range is not None:
+        s = survivors("n_tok", n_tok_range[0], n_tok_range[1], "int")
+        kept = s if kept is None else kept.intersect(s)
+    if kept is None:
+        return None
+    from urllib.parse import urlparse
+
+    pairs = (
+        m.join(kept, "chunk_id")
+        .select("file", "chunk_id")
+        .distinct()
+        .groupBy("file")
+        .agg(F.collect_set("chunk_id").alias("cids"))
+        .collect()
+    )
+    return [
+        (urlparse(r["file"]).path if r["file"].startswith("file:") else r["file"],
+         sorted(r["cids"]))
+        for r in pairs
+    ]
+
+
 def decode(spark, out_dir: str, part_ids: list[int] | None = None,
-           mode: str = "files", columns: list[str] | None = None):
+           mode: str = "files", columns: list[str] | None = None,
+           doc_id_range: tuple | None = None,
+           n_tok_range: tuple | None = None):
     """Distributed decode: chunk rows → token-table DataFrame.
 
     ``mode="files"`` (default, the scale path): one task per encoded chunk
@@ -150,7 +212,14 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
     doc_id/tokens/n_tok/source) — the engine-format analog of parquet
     column pruning: unneeded payloads are never CRC'd or decoded, so e.g.
     a doc_id+n_tok scan skips the token kernels (~97% of decode CPU).
+
+    ``doc_id_range`` / ``n_tok_range`` (inclusive ``(lo, hi)``, either end
+    None) are exact row predicates that ALSO prune I/O through the
+    manifest's per-chunk min/max stats (zone maps — the ORC
+    column-statistics analog): chunks that cannot match are never read or
+    decoded, and the surviving rows are filtered exactly.
     """
+    import json as _json
     import os
 
     from pyspark.sql import functions as F
@@ -159,8 +228,23 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
         bad = set(columns) - set(_LOGICAL_ORDER)
         if bad:
             raise ValueError(f"unknown columns: {sorted(bad)}")
+        if doc_id_range is not None and "doc_id" not in columns:
+            raise ValueError("doc_id_range requires 'doc_id' in columns")
+        if n_tok_range is not None and "n_tok" not in columns:
+            raise ValueError("n_tok_range requires 'n_tok' in columns")
         columns = [c for c in _LOGICAL_ORDER if c in set(columns)]
     ddl = _select_ddl(columns) if columns is not None else TOKEN_DDL
+
+    def exact_filter(df):
+        for col, rng in (("doc_id", doc_id_range), ("n_tok", n_tok_range)):
+            if rng is not None:
+                lo, hi = rng
+                if lo is not None:
+                    df = df.where(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    df = df.where(F.col(col) <= F.lit(hi))
+        return df
+
     chunks_dir = os.path.join(out_dir, "chunks")
     from .encode import _has_parquet
 
@@ -175,29 +259,46 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
         def decode_group(tbl: pa.Table) -> pa.Table:
             return decode_chunk_table(tbl, columns)
 
-        return chunks.groupBy("chunk_id").applyInArrow(decode_group, ddl)
+        return exact_filter(
+            chunks.groupBy("chunk_id").applyInArrow(decode_group, ddl)
+        )
 
-    files = _manifest_files(spark, out_dir, part_ids)
-    if files is None:
-        files = _chunk_files(chunks_dir, part_ids)
-    if not files:
+    work_rows = None
+    if doc_id_range is not None or n_tok_range is not None:
+        pruned = _stat_pruned_work(
+            spark, out_dir, part_ids, doc_id_range, n_tok_range
+        )
+        if pruned is not None:
+            work_rows = [(f, _json.dumps(cids)) for f, cids in pruned]
+    if work_rows is None:
+        files = _manifest_files(spark, out_dir, part_ids)
+        if files is None:
+            files = _chunk_files(chunks_dir, part_ids)
+        work_rows = [(f, None) for f in files]
+    if not work_rows:
         return spark.createDataFrame([], ddl)
 
     def decode_files(batches):
         import pyarrow.parquet as pq
 
         for batch in batches:
-            for path in batch.column(0).to_pylist():
+            for path, cids_json in zip(
+                batch.column(0).to_pylist(), batch.column(1).to_pylist()
+            ):
                 tbl = pq.read_table(path)
                 ids = tbl.column("chunk_id").to_numpy()
-                for cid in np.unique(ids):
+                wanted = np.unique(ids)
+                if cids_json is not None:
+                    sel = np.asarray(_json.loads(cids_json), dtype=ids.dtype)
+                    wanted = wanted[np.isin(wanted, sel)]
+                for cid in wanted:
                     group = tbl.filter(pa.compute.equal(tbl.column("chunk_id"), cid))
                     yield from decode_chunk_table(group, columns).to_batches()
 
     # each task receives its OWN file path as data — a closure over the full
     # file list would ship every task a copy of all paths (millions at 100 TB)
     work = spark.createDataFrame(
-        spark.sparkContext.parallelize([(f,) for f in files], len(files)),
-        "path string",
+        spark.sparkContext.parallelize(work_rows, len(work_rows)),
+        "path string, cids string",
     )
-    return work.mapInArrow(decode_files, ddl)
+    return exact_filter(work.mapInArrow(decode_files, ddl))

@@ -65,6 +65,7 @@ OUT_SCHEMA = pa.schema(
         pa.field("enc_bytes", pa.int64()),
         pa.field("crc", pa.int64()),
         pa.field("selection", pa.string()),
+        pa.field("stats", pa.string()),
         pa.field("part_id", pa.int32()),
     ]
 )
@@ -72,7 +73,7 @@ OUT_SCHEMA = pa.schema(
 OUT_DDL = (
     "chunk_id long, seq int, col string, codec string, meta string, "
     "payload binary, n_rows int, raw_bytes long, enc_bytes long, crc long, "
-    "selection string, part_id int"
+    "selection string, stats string, part_id int"
 )
 
 #: physical columns of one encoded chunk; ``offsets`` is the int64 index that
@@ -101,6 +102,19 @@ def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int,
         "offsets": (offsets, "int", offsets.nbytes),
     }
     chunk_id = (part_id << 20) | seq
+    # per-chunk per-column min/max — the ORC column-statistics analog
+    # (zone maps): recorded in the manifest so decode can prune chunks
+    # against predicates without touching payloads
+    mm = {}
+    for arrow_name in ("doc_id", "source"):
+        lohi = pa.compute.min_max(tbl.column(arrow_name))
+        mm[arrow_name] = {"min": lohi["min"].as_py(), "max": lohi["max"].as_py()}
+    mm["n_tok"] = {"min": int(n_tok.min()) if n else None,
+                   "max": int(n_tok.max()) if n else None}
+    mm["token_values"] = {"min": int(flat.min()) if len(flat) else None,
+                          "max": int(flat.max()) if len(flat) else None}
+    mm["offsets"] = {"min": 0, "max": int(offsets[-1])}
+
     rows: dict[str, list] = {k.name: [] for k in OUT_SCHEMA}
     for col_name, (col, kind, raw) in columns.items():
         if kind == "str":
@@ -117,6 +131,7 @@ def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int,
         rows["enc_bytes"].append(len(payload))
         rows["crc"].append(crc32(payload))
         rows["selection"].append(json.dumps(selection, separators=(",", ":")))
+        rows["stats"].append(json.dumps(mm[col_name], separators=(",", ":")))
         rows["part_id"].append(part_id)
     return rows
 

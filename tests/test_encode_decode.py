@@ -171,3 +171,62 @@ def test_digest_detects_single_flipped_token(spark, token_table_dir, tmp_dir):
                      pa.array(crcs, pa.int64()))
     pq.write_table(t, f)
     assert not verify_digest(source, decode(spark, out))["bit_identical"]
+
+
+def test_zone_map_pruned_decode(spark, token_table_dir, tmp_dir):
+    """Per-chunk min/max stats (ORC column-statistics analog) prune decode
+    I/O: a selective doc_id range must read strictly fewer chunks, and the
+    result must equal the full decode filtered exactly."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from clj_orc_spark.pipeline.decode import _stat_pruned_work
+
+    # zone maps prune CLUSTERED data — encode a doc_id-sorted copy (the
+    # shape a real ingest sorted/bucketed by key produces)
+    raw = os.path.join(token_table_dir, "tokens.parquet")
+    src = os.path.join(tmp_dir, "sorted.parquet")
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(raw)
+    pq.write_table(
+        t.sort_by("doc_id"), src, row_group_size=1250
+    )
+    out = os.path.join(tmp_dir, "enc")
+    encode(spark, src, out, n_partitions=4)
+
+    m = spark.read.parquet(os.path.join(out, "manifest", "chunks"))
+    assert "stats" in m.columns
+    one = json.loads(m.where(m.col == "doc_id").first()["stats"])
+    assert one["min"] <= one["max"]
+    n_chunks = m.select("chunk_id").distinct().count()
+
+    ids = sorted(r["doc_id"] for r in
+                 spark.read.parquet(src).select("doc_id").collect())
+    lo, hi = ids[0], ids[len(ids) // 10]  # first ~10% of the id space
+
+    pruned = _stat_pruned_work(spark, out, None, (lo, hi), None)
+    kept_chunks = sum(len(c) for _, c in pruned)
+    assert 0 < kept_chunks < n_chunks, (kept_chunks, n_chunks)
+
+    expect = (
+        decode(spark, out)
+        .where((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
+    )
+    got = decode(spark, out, doc_id_range=(lo, hi))
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+    assert got.count() == len(ids) // 10 + 1
+
+    # n_tok predicate: exact even when zone maps cannot prune (random n_tok
+    # spans every chunk)
+    nt = decode(spark, out, n_tok_range=(None, 50))
+    base = decode(spark, out).where(F.col("n_tok") <= 50)
+    assert nt.count() == base.count()
+
+    # range on a pruned-out column is a plan-time error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="doc_id_range requires"):
+        decode(spark, out, columns=["n_tok"], doc_id_range=(lo, hi))
