@@ -465,6 +465,39 @@ def _q_roundtrip_sql(spark, sf):
     )
 
 
+def _q_roundtrip_pruned(spark, sf):
+    """Zone-map predicate decode under the oracle: same SQL-derived token
+    table as roundtrip_sql, but decoded with a doc_id range — chunk pruning
+    + exact filtering must reproduce exactly what DuckDB's WHERE sees."""
+    import shutil
+
+    from clj_orc_spark.pipeline import decode, encode
+
+    toks = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .selectExpr(
+            "CAST(doc_id AS string) AS doc_id",
+            "transform(split(text, ' '), w -> length(w)) AS tokens",
+            "CAST(size(split(text, ' ')) AS int) AS n_tok",
+            "source",
+        )
+    )
+    out = f"/tmp/clj-orc-roundtrip-pruned-{os.path.basename(os.path.normpath(sf))}"
+    shutil.rmtree(out, ignore_errors=True)
+    encode(spark, df=toks, out_dir=out, n_partitions=4, resume=False)
+    decoded = decode(spark, out, doc_id_range=("1", "4"))
+    return (
+        decoded.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_words"),
+            F.sum(
+                F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x)
+            ).cast("long").alias("total_word_chars"),
+        )
+    )
+
+
 def _q_multimodal_features(spark, sf):  # real-codec media path (rows-only)
     """Deterministic BMP/WAV payloads → REAL decode + feature extraction
     (operators/multimodal.py, fake=False) → per-kind rollup.  Rows-only:
@@ -549,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _shipped(_q_quality_filter),
         "encode_roundtrip": _shipped(_q_encode_roundtrip),
         "roundtrip_sql": _shipped(_q_roundtrip_sql),
+        "roundtrip_pruned": _shipped(_q_roundtrip_pruned),
         "multimodal_features": _shipped(_q_multimodal_features),
         "codec_manifest": _shipped(_q_codec_manifest),
     }
@@ -623,6 +657,16 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(list_aggregate(list_transform(string_split(text, ' '),"
             "  w -> length(w)), 'sum')) AS BIGINT) AS total_word_chars"
             " FROM documents GROUP BY source"
+        ),
+        "roundtrip_pruned": (
+            "SELECT source, count(*) AS n_docs,"
+            " CAST(sum(len(string_split(text, ' '))) AS BIGINT)"
+            "  AS total_words,"
+            " CAST(sum(list_aggregate(list_transform(string_split(text, ' '),"
+            "  w -> length(w)), 'sum')) AS BIGINT) AS total_word_chars"
+            " FROM documents"
+            " WHERE CAST(doc_id AS VARCHAR) BETWEEN '1' AND '4'"
+            " GROUP BY source"
         ),
         "window_rank": (
             "SELECT lang, rnk, doc_id, n_chars FROM ("
