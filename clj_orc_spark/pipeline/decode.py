@@ -89,6 +89,12 @@ def decode_chunk_table(tbl: pa.Table, columns: list[str] | None = None) -> pa.Ta
     return pa.table(out)
 
 
+def _strip_file_scheme(uri: str) -> str:
+    from urllib.parse import urlparse
+
+    return urlparse(uri).path if uri.startswith("file:") else uri
+
+
 def _chunk_files(chunks_dir: str, part_ids: list[int] | None) -> list[str]:
     import os
 
@@ -111,7 +117,6 @@ def _manifest_files(spark, out_dir: str, part_ids: list[int] | None) -> list[str
     uncommitted partial files from a crashed wave are never decoded).
     Returns None when this run predates file recording (walk fallback)."""
     import os
-    from urllib.parse import urlparse
 
     from pyspark.sql import functions as F
 
@@ -126,9 +131,7 @@ def _manifest_files(spark, out_dir: str, part_ids: list[int] | None) -> list[str
     if part_ids is not None:
         m = m.where(F.col("part_id").isin([int(p) for p in part_ids]))
     uris = sorted(r["file"] for r in m.select("file").distinct().collect())
-    return [
-        urlparse(u).path if u.startswith("file:") else u for u in uris
-    ]
+    return [_strip_file_scheme(u) for u in uris]
 
 
 def _stat_pruned_work(spark, out_dir: str, part_ids, doc_id_range,
@@ -174,8 +177,6 @@ def _stat_pruned_work(spark, out_dir: str, part_ids, doc_id_range,
         kept = s if kept is None else kept.intersect(s)
     if kept is None:
         return None
-    from urllib.parse import urlparse
-
     pairs = (
         m.join(kept, "chunk_id")
         .select("file", "chunk_id")
@@ -184,11 +185,7 @@ def _stat_pruned_work(spark, out_dir: str, part_ids, doc_id_range,
         .agg(F.collect_set("chunk_id").alias("cids"))
         .collect()
     )
-    return [
-        (urlparse(r["file"]).path if r["file"].startswith("file:") else r["file"],
-         sorted(r["cids"]))
-        for r in pairs
-    ]
+    return [(_strip_file_scheme(r["file"]), sorted(r["cids"])) for r in pairs]
 
 
 def decode(spark, out_dir: str, part_ids: list[int] | None = None,
@@ -224,6 +221,17 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
 
     from pyspark.sql import functions as F
 
+    # bound TYPES are validated at plan time: the recorded doc_id stats are
+    # lexicographic strings — numeric bounds would make Spark coerce the
+    # stats to numbers and silently prune chunks that actually match
+    if doc_id_range is not None and any(
+        b is not None and not isinstance(b, str) for b in doc_id_range
+    ):
+        raise TypeError("doc_id_range bounds must be strings (or None)")
+    if n_tok_range is not None and any(
+        b is not None and not isinstance(b, int) for b in n_tok_range
+    ):
+        raise TypeError("n_tok_range bounds must be ints (or None)")
     if columns is not None:
         bad = set(columns) - set(_LOGICAL_ORDER)
         if bad:
@@ -278,6 +286,11 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
     if not work_rows:
         return spark.createDataFrame([], ddl)
 
+    needed_cols = sorted(
+        {p for c in (columns or _LOGICAL_ORDER) for p in _PHYSICAL[c]}
+    )
+    prune_cols = columns is not None and len(needed_cols) < len(_PHYSICAL) + 1
+
     def decode_files(batches):
         import pyarrow.parquet as pq
 
@@ -285,13 +298,17 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
             for path, cids_json in zip(
                 batch.column(0).to_pylist(), batch.column(1).to_pylist()
             ):
-                tbl = pq.read_table(path)
-                ids = tbl.column("chunk_id").to_numpy()
-                wanted = np.unique(ids)
+                # parquet filters give row-group skipping (the writer keeps
+                # ~4 payload rows per group): pruned-out chunks' and
+                # unrequested columns' payload bytes are mostly never read
+                filters = []
                 if cids_json is not None:
-                    sel = np.asarray(_json.loads(cids_json), dtype=ids.dtype)
-                    wanted = wanted[np.isin(wanted, sel)]
-                for cid in wanted:
+                    filters.append(("chunk_id", "in", _json.loads(cids_json)))
+                if prune_cols:
+                    filters.append(("col", "in", needed_cols))
+                tbl = pq.read_table(path, filters=filters or None)
+                ids = tbl.column("chunk_id").to_numpy()
+                for cid in np.unique(ids):
                     group = tbl.filter(pa.compute.equal(tbl.column("chunk_id"), cid))
                     yield from decode_chunk_table(group, columns).to_batches()
 

@@ -518,6 +518,27 @@ def _write_per_part(df, path: str) -> None:
     )
 
 
+def _write_chunks(encoded, chunks_dir: str) -> None:
+    """THE chunk writer — batch and streaming encode must stay byte-layout
+    identical, so every writer option lives here once.
+
+    * writer-level dynamic overwrite (NOT session conf): a caller-owned
+      session without the conf would static-overwrite and silently destroy
+      completed partitions on resume;
+    * 16 MB parquet blocks: chunk rows are opaque pre-packed payloads — a
+      128 MB block buys nothing, and N concurrent writers x 128 MB buffers
+      OOM a default-1g spark-submit driver (found by verify surface 4);
+      ~4 payload rows per row group also gives the pruned decode's
+      chunk_id filters real row-group skipping."""
+    (
+        encoded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("parquet.block.size", str(16 << 20))
+        .partitionBy("part_id")
+        .parquet(chunks_dir)
+    )
+
+
 def _commit_manifest(spark, out_dir: str, chunks_dir: str,
                      pending: list[int]) -> None:
     """Manifest commit for a wave of partitions: chunk records (payload
@@ -532,7 +553,13 @@ def _commit_manifest(spark, out_dir: str, chunks_dir: str,
     scan is a full metadata pass."""
     from pyspark.sql import functions as F
 
-    written = spark.read.parquet(chunks_dir).where(F.col("part_id").isin(pending))
+    # mergeSchema: a store half-encoded by an older release may mix chunk
+    # schemas (e.g. pre-stats files) — sampling one old footer would silently
+    # drop newer columns from the manifest
+    written = (
+        spark.read.option("mergeSchema", "true").parquet(chunks_dir)
+        .where(F.col("part_id").isin(pending))
+    )
     manifest = written.drop("payload").withColumn("file", F.input_file_name())
     manifest_dir = os.path.join(out_dir, "manifest", "chunks")
     _write_per_part(manifest, manifest_dir)
@@ -549,6 +576,18 @@ def _commit_manifest(spark, out_dir: str, chunks_dir: str,
         .withColumn("status", F.lit("complete"))
         .withColumn("completed_at", F.lit(time.time()))
     )
+    # a pending part that produced ZERO chunks (e.g. an empty row group)
+    # still needs its completion marker, or resume re-runs it forever
+    marked = {r["part_id"] for r in parts.select("part_id").collect()}
+    missing = [p for p in pending if p not in marked]
+    if missing:
+        parts = parts.unionByName(
+            spark.createDataFrame(
+                [(p, 0, 0, 0, 0, "complete", time.time()) for p in missing],
+                "part_id int, n_chunks long, n_rows long, enc_bytes long,"
+                " raw_bytes long, status string, completed_at double",
+            )
+        )
     _write_per_part(parts, os.path.join(out_dir, "manifest", "parts"))
 
 
@@ -606,8 +645,13 @@ def encode(
 
     t0 = time.time()
     files = _local_parquet_files(input_path) if scan != "jvm" else None
-    if scan == "salted" and not files:
-        raise ValueError("scan='salted' needs directly readable parquet files")
+    if scan in ("salted", "rowgroup") and not files:
+        # never silently degrade an explicit mode request — the chosen mode
+        # is persisted in plan.json and would pin every future resume
+        raise ValueError(
+            f"scan={scan!r} needs directly readable parquet files under "
+            f"input_path; got input_path={input_path!r}"
+        )
 
     if files and scan in ("auto", "rowgroup"):
         if not explicit_parts:
@@ -674,19 +718,7 @@ def encode(
             .mapInArrow(make_encoder(chunk_bytes), OUT_DDL)
         )
     chunks_dir = os.path.join(out_dir, "chunks")
-    (
-        encoded.write.mode("overwrite")
-        # writer-level option, NOT session conf: a caller-owned session
-        # without the conf would static-overwrite and silently destroy
-        # completed partitions on resume
-        .option("partitionOverwriteMode", "dynamic")
-        # chunk rows are opaque pre-packed payloads — a 128 MB parquet block
-        # buys nothing, and N concurrent writers × 128 MB row-group buffers
-        # OOM a default-1g spark-submit driver (found by verify surface 4)
-        .option("parquet.block.size", str(16 << 20))
-        .partitionBy("part_id")
-        .parquet(chunks_dir)
-    )
+    _write_chunks(encoded, chunks_dir)
 
     if not _has_parquet(spark, chunks_dir):
         # zero rows pending (empty input): mark parts complete, no chunks

@@ -89,19 +89,41 @@ def stream_encode(
     pipeline's per-partition lineage.  Output layout, manifest, decode and
     verify are identical to the batch path.
     """
+    import json
+
+    from ..pipeline import fsio
     from ..pipeline.encode import (
         DEFAULT_CHUNK_BYTES,
         OUT_DDL,
         _commit_manifest,
+        _write_chunks,
         make_encoder,
     )
 
     cb = chunk_bytes or DEFAULT_CHUNK_BYTES
-    k = parts_per_batch or spark.sparkContext.defaultParallelism
+    # replay idempotency REQUIRES the same part_id namespace across
+    # restarts: a replayed batch salted with a different k would write new
+    # partitions instead of overwriting the committed ones.  Pin k in a
+    # sidecar on first start, exactly like batch encode pins plan.json.
+    meta_path = os.path.join(out_dir, "stream_meta.json")
+    if fsio.exists(spark, meta_path):
+        pinned = json.loads(fsio.read_text(spark, meta_path))["parts_per_batch"]
+        if parts_per_batch is not None and parts_per_batch != pinned:
+            raise ValueError(
+                f"out_dir was started with parts_per_batch={pinned}; a "
+                f"restart must keep it (got {parts_per_batch})"
+            )
+        k = pinned
+    else:
+        k = parts_per_batch or spark.sparkContext.defaultParallelism
+        fsio.write_text(spark, meta_path, json.dumps({"parts_per_batch": k}))
     chunks_dir = os.path.join(out_dir, "chunks")
-    schema = spark.read.parquet(input_dir).schema
+    # the landing dir's schema is the token-table contract — never inferred
+    # (inference crashes on the EMPTY landing dir a fresh ingest starts with)
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(
+            "doc_id string, tokens array<int>, n_tok int, source string"
+        )
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
@@ -119,13 +141,7 @@ def stream_encode(
         encoded = work.repartition(k, "part_id").mapInArrow(
             make_encoder(cb), OUT_DDL
         )
-        (
-            encoded.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .option("parquet.block.size", str(16 << 20))
-            .partitionBy("part_id")
-            .parquet(chunks_dir)
-        )
+        _write_chunks(encoded, chunks_dir)
         spark_session = batch_df.sparkSession
         pending = list(range(int(batch_id) * k, int(batch_id) * k + k))
         _commit_manifest(spark_session, out_dir, chunks_dir, pending)
