@@ -553,11 +553,12 @@ def _commit_manifest(spark, out_dir: str, chunks_dir: str,
     scan is a full metadata pass."""
     from pyspark.sql import functions as F
 
-    # mergeSchema: a store half-encoded by an older release may mix chunk
-    # schemas (e.g. pre-stats files) — sampling one old footer would silently
-    # drop newer columns from the manifest
+    # explicit schema, never inference: a store half-encoded by an older
+    # release may mix chunk schemas (pre-stats files) and sampling one old
+    # footer would silently drop newer columns — and mergeSchema would sweep
+    # EVERY footer (10^6 files at scale).  Missing columns read as null.
     written = (
-        spark.read.option("mergeSchema", "true").parquet(chunks_dir)
+        spark.read.schema(OUT_DDL).parquet(chunks_dir)
         .where(F.col("part_id").isin(pending))
     )
     manifest = written.drop("payload").withColumn("file", F.input_file_name())
