@@ -28,11 +28,20 @@ MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def _shingle_hashes(text: str, width: int) -> np.ndarray:
-    """Rolling byte-window hashes (the FSST window trick, reused)."""
+    """Rolling byte-window hashes (the FSST window trick, reused).
+
+    A text shorter than the window is its OWN single shingle — hashing the
+    full byte string, not a constant sentinel: a shared sentinel would give
+    every short text an identical MinHash signature and report all pairs of
+    short texts as est_jaccard=1.0 duplicates."""
     b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
     n = len(b) - width + 1
     if n <= 0:
-        return np.zeros(1, dtype=np.uint64)
+        h = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for byte in b.astype(np.uint64):
+                h = h * np.uint64(131) + byte
+        return np.array([h + np.uint64(1)], dtype=np.uint64)
     h = np.zeros(n, dtype=np.uint64)
     d = b.astype(np.uint64)
     for j in range(width):
@@ -167,8 +176,13 @@ def minhash_lsh(
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep one representative per exact content hash; never shuffles text."""
-    h = F.xxhash64(F.col(text_col))
+    """Keep one representative per exact content hash; never shuffles text.
+
+    The hash is 128-bit (md5), not xxhash64: at the 10^10-document scale a
+    64-bit hash hits its birthday bound and silently merges distinct
+    documents; 128 bits keeps the collision odds negligible without
+    shuffling text for an exact-equality confirm."""
+    h = F.md5(F.col(text_col).cast("binary"))
     return (
         df.select(h.alias("content_hash"), F.col(id_col).alias("id"))
         .groupBy("content_hash")
@@ -204,11 +218,15 @@ def fnv1a_slices(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.nd
     return h
 
 
-def simhash_batch(texts) -> np.ndarray:
+def simhash_batch(texts, seed: int = 0) -> np.ndarray:
     """64-bit SimHash for a batch of texts, fully vectorized: all words of
     all rows are hashed by :func:`fnv1a_slices` in one numpy pass, the bit
     matrix comes from a single ``unpackbits``, and per-document votes are one
-    ``reduceat`` along axis 0 — no per-word Python, no per-bit loop."""
+    ``reduceat`` along axis 0 — no per-word Python, no per-bit loop.
+
+    ``seed`` perturbs every word hash (splitmix-style xor-multiply), so
+    distinct seeds give genuinely independent signatures; seed=0 is the
+    historical signature, bit-for-bit."""
     word_lists = [(t or "").lower().split() for t in texts]
     counts = np.array([len(ws) for ws in word_lists], dtype=np.int64)
     out = np.zeros(len(texts), dtype=np.uint64)
@@ -223,6 +241,10 @@ def simhash_batch(texts) -> np.ndarray:
         starts = np.concatenate([[0], sp + 1])
         ends = np.concatenate([sp, [len(buf)]])
         hs = fnv1a_slices(buf, starts, ends - starts)
+        if seed:
+            with np.errstate(over="ignore"):
+                hs = (hs ^ np.uint64(seed)) * np.uint64(0xBF58476D1CE4E5B9)
+                hs ^= hs >> np.uint64(27)
 
         nz = np.flatnonzero(counts > 0)
         seg = np.concatenate([[0], np.cumsum(counts)])[:-1][nz]
@@ -239,12 +261,14 @@ def simhash_batch(texts) -> np.ndarray:
     return out.view(np.int64)  # wraparound into signed storage
 
 
-def make_simhash_udf(seed: int = 42):
-    """pandas UDF: text → 64-bit SimHash (see :func:`simhash_batch`)."""
+def make_simhash_udf(seed: int = 0):
+    """pandas UDF: text → 64-bit SimHash (see :func:`simhash_batch`;
+    ``seed`` is threaded into the word hashing — previously it was accepted
+    and silently ignored)."""
 
     @pandas_udf("long")
     def simhash64(texts: pd.Series) -> pd.Series:
-        return pd.Series(simhash_batch(list(texts)))
+        return pd.Series(simhash_batch(list(texts), seed=seed))
 
     return simhash64
 

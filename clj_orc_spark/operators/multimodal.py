@@ -96,8 +96,11 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
             i = payload.index(b"\n", i) + 1
             continue
         j = i
-        while not payload[j : j + 1].isspace():
+        while j < len(payload) and not payload[j : j + 1].isspace():
             j += 1
+        if j >= len(payload) or j == i:
+            # a corrupt row must raise, never spin an executor task forever
+            raise ValueError("truncated netpbm header")
         parts.append(payload[i:j])
         i = j
     i += 1  # single whitespace after maxval
@@ -146,6 +149,12 @@ def image_feature(arr: np.ndarray, grid: int = 8) -> np.ndarray:
     """Real 64-dim feature: ``grid×grid`` block-mean grayscale thumbnail,
     scaled to [0, 1] — the classic near-dup image fingerprint."""
     gray = arr.astype(np.float32).mean(axis=2) if arr.ndim == 3 else arr.astype(np.float32)
+    if gray.shape[0] < grid or gray.shape[1] < grid:
+        # tiny images: upsample first — duplicate reduceat indices would
+        # otherwise divide block sums by zero cell counts (inf/NaN features)
+        gray = resize_image(
+            gray, (max(grid, gray.shape[0]), max(grid, gray.shape[1]))
+        )
     rb = (np.arange(grid) * gray.shape[0]) // grid
     cb = (np.arange(grid) * gray.shape[1]) // grid
     cells = np.add.reduceat(np.add.reduceat(gray, rb, axis=0), cb, axis=1)
@@ -159,6 +168,8 @@ def audio_feature(payload: bytes, bands: int = FEATURE_DIM) -> np.ndarray:
     the first channel, L2-normalized."""
     samples, _ = decode_audio(payload)
     x = samples[:, 0].astype(np.float32)
+    if len(x) == 0:  # structurally valid zero-frame WAV
+        return np.zeros(bands, dtype=np.float32)
     mag = np.abs(np.fft.rfft(x))
     edges = (np.arange(bands) * len(mag)) // bands
     e = np.add.reduceat(mag, edges) / np.maximum(np.diff(np.append(edges, len(mag))), 1)

@@ -638,6 +638,14 @@ def encode(
     from pyspark.sql import functions as F
 
     assert out_dir, "out_dir required"
+    if scan not in ("auto", "rowgroup", "salted", "jvm"):
+        # a typo'd mode must never silently run (and pin) a different path
+        raise ValueError(f"unknown scan mode {scan!r}")
+    if df is not None and input_path is not None:
+        raise ValueError(
+            "pass input_path OR df, not both — a transformed df would be "
+            "silently ignored whenever input_path is directly readable"
+        )
     explicit_parts = n_partitions is not None
     if df is None and scan in ("jvm", "salted"):
         df = spark.read.parquet(input_path)

@@ -98,13 +98,15 @@ def verify_roundtrip(source: DataFrame, decoded: DataFrame) -> dict:
 
 
 def encoded_size_bytes(spark, out_dir: str) -> dict:
-    """Engine output accounting: payload bytes + manifest (meta) bytes."""
+    """Engine output accounting: payload bytes + manifest (meta) bytes.
+    Manifest sizing goes through fsio (Hadoop FS on scheme-qualified
+    stores) — a bare os.walk would silently report 0 on an object store
+    and let the size gate pass a store that exceeds the bar."""
+    from . import fsio
+
     manifest = spark.read.parquet(os.path.join(out_dir, "manifest", "chunks"))
     payload = manifest.agg(F.sum("enc_bytes")).collect()[0][0] or 0
-    meta_bytes = 0
-    for sub in ("manifest",):
-        for root, _, files in os.walk(os.path.join(out_dir, sub)):
-            meta_bytes += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    meta_bytes = fsio.dir_bytes(spark, os.path.join(out_dir, "manifest"))
     return {
         "payload_bytes": int(payload),
         "manifest_bytes": int(meta_bytes),

@@ -70,11 +70,20 @@ def read_orc(
     if schema is not None:
         declared = spark.createDataFrame([], schema).schema
         actual = spark.read.orc(path).schema
+        actual_types = {f.name: f.dataType for f in actual.fields}
         for field in declared.fields:
-            if field.name not in actual.names:
+            if field.name not in actual_types:
                 raise ValueError(
                     f"declared column {field.name!r} not in ORC file schema "
                     f"{actual.names} (the reference silently mis-decodes here)"
+                )
+            if actual_types[field.name] != field.dataType:
+                # names alone don't prevent the reference's silent
+                # mis-decode class — a type mismatch must throw at plan time
+                raise ValueError(
+                    f"declared column {field.name!r} is "
+                    f"{field.dataType.simpleString()} but the ORC file has "
+                    f"{actual_types[field.name].simpleString()}"
                 )
     return df
 

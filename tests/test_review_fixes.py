@@ -92,3 +92,72 @@ def test_stream_encode_starts_on_empty_landing_dir(spark, tmp_dir):
     q = stream_encode(spark, in_dir, out, parts_per_batch=2)
     q.awaitTermination(120)  # availableNow: no files -> clean stop
     assert not q.isActive
+
+
+def test_short_texts_are_not_universal_duplicates():
+    """Texts shorter than the shingle width must hash as themselves, not a
+    shared sentinel that makes every short-text pair est_jaccard=1.0."""
+    from clj_orc_spark.operators.dedup import _shingle_hashes
+
+    a, b = _shingle_hashes("cat", 5), _shingle_hashes("dog", 5)
+    assert not (a == b).all()
+    assert (_shingle_hashes("cat", 5) == a).all()  # deterministic
+
+
+def test_pnm_truncated_header_raises():
+    from clj_orc_spark.operators.multimodal import decode_image
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(b"P6 12")
+
+
+def test_tiny_image_and_empty_wav_features_are_finite():
+    import io
+    import wave
+
+    from clj_orc_spark.operators.multimodal import (
+        audio_feature,
+        encode_bmp,
+        decode_image,
+        image_feature,
+    )
+
+    tiny = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    feat = image_feature(decode_image(encode_bmp(tiny)))
+    assert feat.shape == (64,) and np.isfinite(feat).all()
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+    af = audio_feature(buf.getvalue())
+    assert af.shape == (64,) and np.isfinite(af).all()
+
+
+def test_simhash_seed_changes_signatures():
+    from clj_orc_spark.operators.dedup import simhash_batch
+
+    texts = ["the quick brown fox", "jumps over the lazy dog"]
+    s0 = simhash_batch(texts, seed=0)
+    s7 = simhash_batch(texts, seed=7)
+    assert not np.array_equal(s0, s7)
+    assert np.array_equal(simhash_batch(texts), s0)  # default unchanged
+
+
+def test_encode_rejects_ambiguous_inputs_and_bad_mode(spark, token_table_dir,
+                                                      tmp_dir):
+    src = os.path.join(token_table_dir, "tokens.parquet")
+    with pytest.raises(ValueError, match="not both"):
+        encode(spark, input_path=src, df=spark.read.parquet(src),
+               out_dir=os.path.join(tmp_dir, "enc"))
+    with pytest.raises(ValueError, match="unknown scan mode"):
+        encode(spark, src, os.path.join(tmp_dir, "enc"), scan="rowgroups")
+
+
+def test_read_orc_rejects_type_mismatch(spark, token_table_dir):
+    from clj_orc_spark.sources import read_orc
+
+    path = os.path.join(token_table_dir, "tokens.orc")
+    with pytest.raises(ValueError, match="is int but the ORC file has"):
+        read_orc(spark, path, schema="doc_id int, source string")
