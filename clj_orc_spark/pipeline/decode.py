@@ -19,6 +19,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..kernels import crc32, decode_any
+from . import pafs
 
 TOKEN_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
 
@@ -135,7 +136,7 @@ def _manifest_files(spark, out_dir: str, part_ids: list[int] | None) -> list[str
 
 
 def _stat_pruned_work(spark, out_dir: str, part_ids, doc_id_range,
-                      n_tok_range):
+                      n_tok_range, source_in=None):
     """Zone-map pruning: (file, [chunk_ids]) for chunks whose recorded
     per-column min/max intersects the predicate — the ORC column-statistics
     analog, answered entirely from the payload-pruned manifest.  Returns
@@ -175,6 +176,19 @@ def _stat_pruned_work(spark, out_dir: str, part_ids, doc_id_range,
     if n_tok_range is not None:
         s = survivors("n_tok", n_tok_range[0], n_tok_range[1], "int")
         kept = s if kept is None else kept.intersect(s)
+    if source_in is not None:
+        # membership against a [min,max] zone map: a chunk can only hold a
+        # wanted source value if some v ∈ source_in lies within its range
+        rows = m.where(F.col("col") == "source").select(
+            "chunk_id",
+            F.get_json_object("stats", "$.min").alias("mn"),
+            F.get_json_object("stats", "$.max").alias("mx"),
+        )
+        cond = F.lit(False)
+        for v in source_in:
+            cond = cond | ((F.col("mn") <= F.lit(v)) & (F.col("mx") >= F.lit(v)))
+        s = rows.where(F.col("mn").isNull() | cond).select("chunk_id")
+        kept = s if kept is None else kept.intersect(s)
     if kept is None:
         return None
     pairs = (
@@ -191,7 +205,8 @@ def _stat_pruned_work(spark, out_dir: str, part_ids, doc_id_range,
 def decode(spark, out_dir: str, part_ids: list[int] | None = None,
            mode: str = "files", columns: list[str] | None = None,
            doc_id_range: tuple | None = None,
-           n_tok_range: tuple | None = None):
+           n_tok_range: tuple | None = None,
+           source_in: list[str] | None = None):
     """Distributed decode: chunk rows → token-table DataFrame.
 
     ``mode="files"`` (default, the scale path): one task per encoded chunk
@@ -215,6 +230,10 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
     manifest's per-chunk min/max stats (zone maps — the ORC
     column-statistics analog): chunks that cannot match are never read or
     decoded, and the surviving rows are filtered exactly.
+
+    ``source_in`` is a membership predicate on ``source`` (a list of wanted
+    values), pruned the same way: a chunk whose recorded [min, max] source
+    range contains no wanted value is never read.
     """
     import json as _json
     import os
@@ -232,7 +251,14 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
         b is not None and not isinstance(b, int) for b in n_tok_range
     ):
         raise TypeError("n_tok_range bounds must be ints (or None)")
+    if source_in is not None:
+        if not source_in or any(not isinstance(v, str) for v in source_in):
+            raise TypeError("source_in must be a non-empty list of strings")
     if columns is not None:
+        if not columns:
+            # an empty projection would otherwise surface later as an opaque
+            # Spark DDL ParseException — fail at plan time instead
+            raise ValueError("columns must be a non-empty list or None")
         bad = set(columns) - set(_LOGICAL_ORDER)
         if bad:
             raise ValueError(f"unknown columns: {sorted(bad)}")
@@ -240,6 +266,8 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
             raise ValueError("doc_id_range requires 'doc_id' in columns")
         if n_tok_range is not None and "n_tok" not in columns:
             raise ValueError("n_tok_range requires 'n_tok' in columns")
+        if source_in is not None and "source" not in columns:
+            raise ValueError("source_in requires 'source' in columns")
         columns = [c for c in _LOGICAL_ORDER if c in set(columns)]
     ddl = _select_ddl(columns) if columns is not None else TOKEN_DDL
 
@@ -251,6 +279,8 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
                     df = df.where(F.col(col) >= F.lit(lo))
                 if hi is not None:
                     df = df.where(F.col(col) <= F.lit(hi))
+        if source_in is not None:
+            df = df.where(F.col("source").isin(list(source_in)))
         return df
 
     chunks_dir = os.path.join(out_dir, "chunks")
@@ -272,9 +302,9 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
         )
 
     work_rows = None
-    if doc_id_range is not None or n_tok_range is not None:
+    if doc_id_range is not None or n_tok_range is not None or source_in is not None:
         pruned = _stat_pruned_work(
-            spark, out_dir, part_ids, doc_id_range, n_tok_range
+            spark, out_dir, part_ids, doc_id_range, n_tok_range, source_in
         )
         if pruned is not None:
             work_rows = [(f, _json.dumps(cids)) for f, cids in pruned]
@@ -306,7 +336,11 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
                     filters.append(("chunk_id", "in", _json.loads(cids_json)))
                 if prune_cols:
                     filters.append(("col", "in", needed_cols))
-                tbl = pq.read_table(path, filters=filters or None)
+                # manifest-recorded URIs may be scheme-qualified (object
+                # store) — resolve per path; plain local paths hit
+                # LocalFileSystem, same as before
+                fs, p = pafs.resolve(path)
+                tbl = pq.read_table(p, filesystem=fs, filters=filters or None)
                 ids = tbl.column("chunk_id").to_numpy()
                 for cid in np.unique(ids):
                     group = tbl.filter(pa.compute.equal(tbl.column("chunk_id"), cid))

@@ -36,9 +36,11 @@ Layout under ``out_dir``::
 
 from __future__ import annotations
 
+import heapq
 import json
 import os
 import time
+import warnings
 from collections.abc import Iterator
 
 import numpy as np
@@ -46,7 +48,7 @@ import pyarrow as pa
 
 from ..kernels import StringCol, crc32
 from ..selector import encode_column
-from . import fsio
+from . import fsio, pafs
 from .skew import apply_plan, compute_plan
 
 DEFAULT_CHUNK_BYTES = 8 << 20  # raw token bytes per chunk (byte-limit analog)
@@ -211,26 +213,47 @@ def make_encoder(chunk_bytes: int = DEFAULT_CHUNK_BYTES):
 SCAN_DDL = "doc_id string, tokens array<int>, n_tok int, source string, part_id int"
 
 
-def _local_parquet_files(input_path: str | None) -> list[str] | None:
-    """Parquet files under input_path when pyarrow can read them directly
-    (the fused-scan fast path); None → fall back to the JVM scan.  On a real
-    deployment the same fast path works for object stores via
-    ``pyarrow.fs`` — here only local/file:// is wired because the sandbox
-    has no object store to test against."""
+def _parquet_source(
+    input_path: str | None, filesystem=None
+) -> tuple[object | None, list[str] | None, str | None]:
+    """``(pyarrow_fs, parquet_files, degraded_reason)`` for an input location.
+
+    The fused-scan fast path engages whenever pyarrow can serve the location
+    — local paths, ``file://``/``s3://``/``s3a://``/``gs://``/``hdfs://``
+    URIs (pafs.resolve), or an explicit ``filesystem=`` object.  Returns
+    ``(None, None, reason)`` when it can't (unknown scheme, unreachable
+    store, no parquet files): the caller falls back to the JVM scan and
+    RECORDS the reason — at 100 TB a silent fallback moves every token byte
+    through a shuffle the operator never asked for."""
     if input_path is None:
-        return None
-    if input_path.startswith("file://"):
-        input_path = input_path[len("file://"):]
-    if os.path.isfile(input_path):
-        return [input_path] if input_path.endswith(".parquet") else None
-    files = []
-    for root, _, names in os.walk(input_path):
-        files += [os.path.join(root, n) for n in names if n.endswith(".parquet")]
-    return sorted(files) or None
+        return None, None, None
+    try:
+        fs, path = pafs.resolve(input_path, filesystem)
+        files = pafs.list_parquet(fs, path)
+    except Exception as e:
+        return None, None, f"pyarrow.fs cannot serve {input_path!r}: {e}"
+    if not files:
+        return None, None, f"no .parquet files under {input_path!r}"
+    return fs, files, None
+
+
+def _lpt_pack(units: list[tuple], n_bins: int) -> list[list]:
+    """Longest-processing-time bin packing: units ``(weight, *payload)`` →
+    ``n_bins`` lists of payloads.  Heap-based bin selection — O(log bins)
+    per unit, so planning stays driver-cheap at the documented target
+    (~10^6 row-group units across thousands of bins; a linear
+    ``loads.index(min(loads))`` scan there is minutes of driver time)."""
+    bins: list[list] = [[] for _ in range(n_bins)]
+    heap = [(0.0, j) for j in range(n_bins)]
+    for unit in sorted(units, key=lambda u: u[0], reverse=True):
+        load, j = heapq.heappop(heap)
+        bins[j].append(list(unit[1:]))
+        heapq.heappush(heap, (load + float(unit[0]), j))
+    return bins
 
 
 def _row_group_assignments(
-    files: list[str], n_tasks: int
+    files: list[str], n_tasks: int, fs=None
 ) -> list[list[tuple[str, int]]]:
     """Greedy-balance (file, row_group) units across scan tasks by byte size
     — row groups are the parquet read unit, so this is the scan's skew
@@ -239,23 +262,16 @@ def _row_group_assignments(
 
     rgs = []
     for f in files:
-        md = pq.read_metadata(f)
+        md = pq.read_metadata(f, filesystem=fs)
         for i in range(md.num_row_groups):
             rgs.append((md.row_group(i).total_byte_size, f, i))
     if not rgs:
         return []
-    n_tasks = max(1, min(n_tasks, len(rgs)))
-    bins: list[list[tuple[str, int]]] = [[] for _ in range(n_tasks)]
-    loads = [0] * n_tasks
-    for size, f, i in sorted(rgs, key=lambda t: t[0], reverse=True):
-        j = loads.index(min(loads))
-        bins[j].append((f, i))
-        loads[j] += size
-    return bins
+    return _lpt_pack(rgs, max(1, min(n_tasks, len(rgs))))
 
 
 def _rowgroup_plan(files: list[str], n_partitions: int,
-                   explicit: bool) -> dict:
+                   explicit: bool, fs=None) -> dict:
     """Zero-shuffle partition plan: ``part_id`` = a byte-balanced bin of
     parquet row groups, so scan + encode run in ONE ``mapInArrow`` stage
     with no repartition — at 100 TB the token bytes never touch the shuffle.
@@ -273,7 +289,7 @@ def _rowgroup_plan(files: list[str], n_partitions: int,
 
     units: list[tuple[float, str, int, int, int]] = []  # weight,f,rg,lo,hi
     for f in files:
-        md = pq.read_metadata(f)
+        md = pq.read_metadata(f, filesystem=fs)
         for i in range(md.num_row_groups):
             rg = md.row_group(i)
             units.append((float(rg.total_byte_size), f, i, 0, rg.num_rows))
@@ -293,12 +309,7 @@ def _rowgroup_plan(files: list[str], n_partitions: int,
         units = split
 
     n_bins = max(1, min(n_partitions, len(units)))
-    bins: list[list[list]] = [[] for _ in range(n_bins)]
-    loads = [0.0] * n_bins
-    for w, f, i, lo, hi in sorted(units, key=lambda u: u[0], reverse=True):
-        j = loads.index(min(loads))
-        bins[j].append([f, i, lo, hi])
-        loads[j] += w
+    bins = _lpt_pack(units, n_bins)
     return {"mode": "rowgroup", "n_total": n_bins, "parts": bins}
 
 
@@ -318,7 +329,7 @@ def rowgroup_work_df(spark, parts: list[list[list]], pending: list[int]):
     )
 
 
-def make_rowgroup_encoder(chunk_bytes: int):
+def make_rowgroup_encoder(chunk_bytes: int, fs=None):
     """ONE-stage scan+encode for ``mapInArrow`` over :func:`rowgroup_work_df`.
 
     Each task owns one ``part_id`` (a planned bin of row groups): it reads
@@ -327,10 +338,14 @@ def make_rowgroup_encoder(chunk_bytes: int):
     JVM-row materialization of token bytes.  This is the 100 TB default
     (measured: the salted-repartition path moves every token byte through
     shuffle write+read, which caps single-box scaling and is network-bound
-    on a real cluster)."""
-    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import pyarrow.parquet as pq
+    on a real cluster).
 
+    ``fs`` is the planner's pyarrow filesystem, shipped in the closure
+    (pyarrow filesystems pickle); ``fs=None`` re-resolves per file path —
+    the path Iceberg-planned units take, whose ``file_path`` URIs carry
+    their own scheme.  A unit's ``hi=-1`` means "the whole row group"
+    (manifest-planned units don't know footer row counts)."""
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             for pid, units_json in zip(
                 batch.column(0).to_pylist(), batch.column(1).to_pylist()
@@ -338,11 +353,16 @@ def make_rowgroup_encoder(chunk_bytes: int):
                 pid = int(pid)
                 seq = 0
                 sel_cache: dict = {}
+                handles: dict[str, object] = {}
                 for f, rg, lo, hi in json.loads(units_json):
-                    tbl = pq.ParquetFile(f).read_row_group(
+                    if f not in handles:
+                        handles[f] = pafs.open_parquet(f, fs)
+                    tbl = handles[f].read_row_group(
                         int(rg),
                         columns=["doc_id", "tokens", "n_tok", "source"],
-                    ).slice(int(lo), int(hi) - int(lo))
+                    )
+                    if int(hi) >= 0:
+                        tbl = tbl.slice(int(lo), int(hi) - int(lo))
                     if not tbl.num_rows:
                         continue
                     # chunk boundaries straight on the row-group table:
@@ -389,7 +409,7 @@ def scan_work_df(spark, assignments: list[list[tuple[str, int]]]):
     )
 
 
-def make_arrow_scanner(plan: dict, pending: set[int] | None):
+def make_arrow_scanner(plan: dict, pending: set[int] | None, fs=None):
     """Fused pyarrow scan + plan assignment for ``mapInArrow`` over
     :func:`scan_work_df`.
 
@@ -406,14 +426,12 @@ def make_arrow_scanner(plan: dict, pending: set[int] | None):
     pend = None if pending is None else np.asarray(sorted(pending), dtype=np.int64)
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import pyarrow.parquet as pq
-
         from ..operators.dedup import fnv1a_slices
 
         for batch in batches:
             for units_json in batch.column(1).to_pylist():
                 for path, rg in json.loads(units_json):
-                    tbl = pq.ParquetFile(path).read_row_group(
+                    tbl = pafs.open_parquet(path, fs).read_row_group(
                         int(rg), columns=["doc_id", "tokens", "n_tok", "source"]
                     )
                     n_tok = np.asarray(
@@ -440,41 +458,35 @@ def make_arrow_scanner(plan: dict, pending: set[int] | None):
     return scan
 
 
-def _default_n_partitions(spark, df, input_path: str | None) -> int:
+def _default_n_partitions(spark, df, input_path: str | None, fs=None) -> int:
     if input_path is not None:
-        if os.path.isfile(input_path):
-            total = os.path.getsize(input_path)
-        else:
+        try:
+            rfs, path = pafs.resolve(input_path, fs)
+            total = pafs.total_bytes(rfs, path)
+        except Exception:
             total = 0
-            for root, _, files in os.walk(input_path):
-                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
         if total:
             # parquet is ~2x lighter than raw token bytes on this data
             return max(1, int(total * 2 // TARGET_PART_BYTES))
     return spark.sparkContext.defaultParallelism * 2
 
 
-def _input_row_count(input_path: str | None) -> int | None:
+def _input_row_count(files: list[str] | None, fs=None) -> int | None:
     """Row count from parquet footers — no Spark job."""
-    if input_path is None:
+    if not files:
         return None
     try:
         import pyarrow.parquet as pq
 
-        total = 0
-        for root, _, files in os.walk(input_path):
-            for f in files:
-                if f.endswith(".parquet"):
-                    total += pq.read_metadata(os.path.join(root, f)).num_rows
-        if os.path.isfile(input_path):
-            total = pq.read_metadata(input_path).num_rows
-        return total or None
+        return sum(
+            pq.read_metadata(f, filesystem=fs).num_rows for f in files
+        ) or None
     except Exception:
         return None
 
 
 def _load_or_compute_plan(spark, df, out_dir: str, n_partitions: int,
-                          input_path: str | None,
+                          files: list[str] | None, fs=None,
                           assign_hash: str = "xxhash64") -> dict:
     """Plan once, persist, reuse — resumed runs must assign identical
     part_ids or per-partition lineage is meaningless.  ``assign_hash``
@@ -483,21 +495,25 @@ def _load_or_compute_plan(spark, df, out_dir: str, n_partitions: int,
     plan_path = os.path.join(out_dir, "plan.json")
     if fsio.exists(spark, plan_path):
         return json.loads(fsio.read_text(spark, plan_path))
-    plan = compute_plan(df, n_partitions, total_rows=_input_row_count(input_path))
+    plan = compute_plan(df, n_partitions, total_rows=_input_row_count(files, fs))
     plan["assign_hash"] = assign_hash
     fsio.write_text(spark, plan_path, json.dumps(plan))
     return plan
 
 
 def _load_or_compute_rowgroup_plan(spark, out_dir: str, files: list[str],
-                                   n_partitions: int, explicit: bool) -> dict:
+                                   n_partitions: int, explicit: bool,
+                                   fs=None, plan: dict | None = None) -> dict:
     """Rowgroup-mode twin of :func:`_load_or_compute_plan` — the persisted
     plan IS the part→row-group assignment, so a resume re-encodes exactly
-    the pending bins regardless of file-listing order or bin-packing ties."""
+    the pending bins regardless of file-listing order or bin-packing ties.
+    A caller-supplied ``plan`` (e.g. the Iceberg-manifest planner,
+    sources/iceberg_plan.py) is persisted the same way."""
     plan_path = os.path.join(out_dir, "plan.json")
     if fsio.exists(spark, plan_path):
         return json.loads(fsio.read_text(spark, plan_path))
-    plan = _rowgroup_plan(files, n_partitions, explicit)
+    if plan is None:
+        plan = _rowgroup_plan(files, n_partitions, explicit, fs)
     fsio.write_text(spark, plan_path, json.dumps(plan))
     return plan
 
@@ -613,18 +629,34 @@ def encode(
     resume: bool = True,
     limit_parts: int | None = None,
     scan: str = "auto",
+    filesystem=None,
+    plan: dict | None = None,
 ) -> dict:
     """Run the encode job; resumable via the parts manifest.
 
     ``limit_parts`` encodes only the first K pending partitions — used by the
     resume tests to simulate a killed run (SURVEY.md §5 engine-test 5).
 
+    ``filesystem``: an explicit ``pyarrow.fs.FileSystem`` serving
+    ``input_path`` (e.g. a credential-configured ``S3FileSystem``); by
+    default the filesystem is resolved from the path's scheme (pafs.resolve
+    — local, ``file://``, ``s3://``/``s3a://``, ``gs://``, ``hdfs://``).
+    A resume must pass the same filesystem/input_path: the persisted plan's
+    file paths are fs-native.
+
+    ``plan``: a precomputed rowgroup plan dict (``{"mode": "rowgroup",
+    "n_total": N, "parts": [[[path, rg, lo, hi], ...], ...]}``) — the hook
+    the Iceberg-manifest planner uses (sources/iceberg_plan.py), whose units
+    carry their own path URIs (resolved per task).  Ignored when out_dir
+    already holds a persisted plan.
+
     ``scan`` picks the physical strategy (recorded in plan.json and pinned on
     resume — each mode assigns part_id differently, and per-partition lineage
     is only sound if a resume reproduces the assignment exactly):
 
-    * "auto" (default) → "rowgroup" whenever ``input_path`` is directly
-      readable parquet, else "jvm".
+    * "auto" (default) → "rowgroup" whenever pyarrow can serve ``input_path``
+      (local or object store), else "jvm" — and the degradation is recorded
+      in the report/run_meta, never silent.
     * "rowgroup": ZERO-SHUFFLE scan+encode in one ``mapInArrow`` stage;
       part_id = a footer-planned, byte-balanced bin of row groups
       (:func:`_rowgroup_plan`).  The 100 TB shape: token bytes go parquet →
@@ -633,7 +665,7 @@ def encode(
       repartition (skew.py) — the shape for inputs whose row groups are
       themselves pathologically skewed or oversized.
     * "jvm": Catalyst DataFrame scan + salted repartition (always used for
-      ``df=`` inputs and non-local filesystems).
+      ``df=`` inputs and filesystems pyarrow cannot serve).
     """
     from pyspark.sql import functions as F
 
@@ -646,23 +678,37 @@ def encode(
             "pass input_path OR df, not both — a transformed df would be "
             "silently ignored whenever input_path is directly readable"
         )
+    if plan is not None and (df is not None or scan not in ("auto", "rowgroup")):
+        raise ValueError("plan= is a rowgroup-mode hook; incompatible with "
+                         f"df= and scan={scan!r}")
     explicit_parts = n_partitions is not None
     if df is None and scan in ("jvm", "salted"):
         df = spark.read.parquet(input_path)
     if n_partitions is None:
-        n_partitions = _default_n_partitions(spark, df, input_path)
+        n_partitions = _default_n_partitions(spark, df, input_path, filesystem)
 
     t0 = time.time()
-    files = _local_parquet_files(input_path) if scan != "jvm" else None
-    if scan in ("salted", "rowgroup") and not files:
+    fs, files, degraded_reason = (
+        _parquet_source(input_path, filesystem) if scan != "jvm"
+        else (None, None, None)
+    )
+    if degraded_reason and scan == "auto" and plan is None:
+        # at 100 TB this fallback moves every token byte through a full
+        # shuffle — the operator must see it (report + run_meta, below)
+        warnings.warn(
+            "zero-shuffle rowgroup scan unavailable, degrading to the JVM "
+            f"scan + salted repartition: {degraded_reason}"
+        )
+    if scan in ("salted", "rowgroup") and not files and plan is None:
         # never silently degrade an explicit mode request — the chosen mode
         # is persisted in plan.json and would pin every future resume
         raise ValueError(
-            f"scan={scan!r} needs directly readable parquet files under "
+            f"scan={scan!r} needs parquet files pyarrow can serve under "
             f"input_path; got input_path={input_path!r}"
+            + (f" ({degraded_reason})" if degraded_reason else "")
         )
 
-    if files and scan in ("auto", "rowgroup"):
+    if plan is not None or (files and scan in ("auto", "rowgroup")):
         if not explicit_parts:
             # part == task in this mode: keep every core busy even when the
             # byte-based default would under-split a small input
@@ -670,22 +716,23 @@ def encode(
                 n_partitions, spark.sparkContext.defaultParallelism * 2
             )
         plan = _load_or_compute_rowgroup_plan(
-            spark, out_dir, files, n_partitions, explicit_parts
+            spark, out_dir, files, n_partitions, explicit_parts, fs, plan
         )
     else:
         if df is None:
             df = spark.read.parquet(input_path)
         plan = _load_or_compute_plan(
-            spark, df, out_dir, n_partitions, input_path,
+            spark, df, out_dir, n_partitions, files, fs,
             assign_hash="fnv1a" if files else "xxhash64",
         )
     mode = plan.get("mode", "salted")
     if mode == "rowgroup":
-        if not files:
+        if df is not None:
             raise ValueError(
                 "out_dir was encoded with the zero-shuffle rowgroup plan; "
-                "resume it with the same input_path, not df="
+                "resume it with the same input_path/filesystem, not df="
             )
+        # units carry their own paths; fs=None → per-task re-resolve
     elif plan.get("assign_hash", "xxhash64") == "xxhash64":
         files = None  # prior run salted with the JVM hash — stay consistent
     elif not files:
@@ -705,16 +752,16 @@ def encode(
 
     if mode == "rowgroup":
         encoded = rowgroup_work_df(spark, plan["parts"], pending).mapInArrow(
-            make_rowgroup_encoder(chunk_bytes), OUT_DDL
+            make_rowgroup_encoder(chunk_bytes, fs), OUT_DDL
         )
     else:
         pending_set = set(pending) if (done or limit_parts is not None) else None
         if files:
             assignments = _row_group_assignments(
-                files, spark.sparkContext.defaultParallelism * 2
+                files, spark.sparkContext.defaultParallelism * 2, fs
             )
             work = scan_work_df(spark, assignments).mapInArrow(
-                make_arrow_scanner(plan, pending_set), SCAN_DDL
+                make_arrow_scanner(plan, pending_set, fs), SCAN_DDL
             )
         else:
             if df is None:
@@ -753,6 +800,10 @@ def encode(
             "arrow-salted" if files else "jvm"),
         "wall_sec": wall,
     }
+    if degraded_reason and mode != "rowgroup":
+        # permanent record of the fallback (run_meta below), alongside the
+        # in-flight warning — silent degradation was round-2 finding #3
+        report["degraded_reason"] = degraded_reason
     meta_path = os.path.join(out_dir, "run_meta.json")
     history = []
     if fsio.exists(spark, meta_path):

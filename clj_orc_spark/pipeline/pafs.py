@@ -1,0 +1,94 @@
+"""pyarrow.fs resolution for the zero-shuffle scan paths.
+
+The rowgroup encode mode plans from parquet footers and reads row groups with
+pyarrow inside ``mapInArrow`` — both need a *Python-side* filesystem, unlike
+the chunk/manifest datasets (Spark's JVM writers) and the tiny sidecar files
+(fsio.py → Hadoop FS).  This module maps any input location onto a
+``pyarrow.fs.FileSystem`` so the fast path engages on object stores, not just
+local disk — the reference's headline remote flow is S3A
+(`/root/reference/src/orc/read.clj:27-49`, `README.md:87-107`):
+
+* bare local paths → ``LocalFileSystem`` (unchanged fast path);
+* scheme-qualified URIs (``s3://``, ``gs://``, ``hdfs://``, ``file://``) →
+  ``FileSystem.from_uri`` with Hadoop scheme aliases mapped (``s3a``/``s3n``
+  → ``s3``);
+* an explicit ``filesystem=`` object (e.g. ``SubTreeFileSystem`` in tests,
+  or a custom-configured ``S3FileSystem``) wins over URI inference.
+
+pyarrow filesystems pickle, so the SAME object the planner used travels to
+executor tasks in the ``mapInArrow`` closure — listing, footer reads, and
+row-group reads all go through one filesystem, and a resume with the same
+``input_path``/``filesystem`` reproduces the plan exactly.
+
+Schemes pyarrow cannot serve raise here; the encode entry point catches
+that, records the degradation in the run report/run_meta, and falls back to
+the JVM scan + salted repartition (never silently — a 100 TB operator must
+see that every token byte is about to cross a shuffle).
+"""
+
+from __future__ import annotations
+
+import pyarrow.fs as _fs
+
+#: Hadoop filesystem scheme names → the pyarrow implementations that serve them
+SCHEME_ALIASES = {"s3a": "s3", "s3n": "s3", "gs": "gcs"}
+
+
+def normalize_uri(path: str) -> str:
+    if "://" not in path:
+        return path
+    scheme, rest = path.split("://", 1)
+    return f"{SCHEME_ALIASES.get(scheme.lower(), scheme)}://{rest}"
+
+
+def resolve(path: str, filesystem=None) -> tuple[_fs.FileSystem, str]:
+    """(filesystem, fs-native path) for a possibly scheme-qualified path.
+
+    Raises (ArrowInvalid/OSError) for schemes pyarrow cannot serve — the
+    caller decides whether to fall back to the JVM scan."""
+    if filesystem is not None:
+        return filesystem, path
+    if "://" in path:
+        return _fs.FileSystem.from_uri(normalize_uri(path))
+    return _fs.LocalFileSystem(), path
+
+
+def list_parquet(fs: _fs.FileSystem, path: str) -> list[str]:
+    """All .parquet files at/under ``path`` (one recursive LIST on object
+    stores, not a per-directory walk), sorted for plan determinism."""
+    info = fs.get_file_info(path)
+    if info.type == _fs.FileType.File:
+        return [path] if path.endswith(".parquet") else []
+    if info.type != _fs.FileType.Directory:
+        return []
+    sel = _fs.FileSelector(path, recursive=True)
+    return sorted(
+        i.path
+        for i in fs.get_file_info(sel)
+        if i.type == _fs.FileType.File and i.path.endswith(".parquet")
+    )
+
+
+def total_bytes(fs: _fs.FileSystem, path: str) -> int:
+    info = fs.get_file_info(path)
+    if info.type == _fs.FileType.File:
+        return int(info.size or 0)
+    if info.type != _fs.FileType.Directory:
+        return 0
+    sel = _fs.FileSelector(path, recursive=True)
+    return sum(
+        int(i.size or 0)
+        for i in fs.get_file_info(sel)
+        if i.type == _fs.FileType.File
+    )
+
+
+def open_parquet(path: str, fs: _fs.FileSystem | None = None):
+    """ParquetFile handle through the resolved filesystem — executor-side
+    helper (``fs=None`` re-resolves from the path, e.g. for manifest-recorded
+    URIs whose tasks outlive the planner's filesystem object)."""
+    import pyarrow.parquet as pq
+
+    if fs is None:
+        fs, path = resolve(path)
+    return pq.ParquetFile(fs.open_input_file(path))
