@@ -56,6 +56,26 @@ def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]
     return a, b
 
 
+#: shingles per vectorized block — caps the (num_perm × block) temporary at
+#: ~32 MB for 64 perms, REGARDLESS of document length (a single 10 MB web
+#: document has ~10^7 shingles; the unblocked num_perm × n_shingles matrix
+#: would be ~5 GB — an executor OOM)
+MINHASH_BLOCK = 65_536
+
+
+def minhash_signature(h: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature of one document's shingle-hash set: min over
+    shingles of ``(a*h + b) mod p`` per permutation, accumulated in
+    ``MINHASH_BLOCK``-shingle blocks — bit-identical to the single-shot
+    matrix, flat memory."""
+    sig = np.full(len(a), MERSENNE, dtype=np.uint64)
+    for lo in range(0, len(h), MINHASH_BLOCK):
+        blk = h[lo : lo + MINHASH_BLOCK]
+        vals = (a[:, None] * blk[None, :] + b[:, None]) % MERSENNE
+        np.minimum(sig, vals.min(axis=1), out=sig)
+    return sig.astype(np.int64)
+
+
 def make_minhash_udf(num_perm: int = 64, shingle: int = 5, seed: int = 42):
     """pandas UDF: text → array<bigint> MinHash signature (vectorized)."""
     a, b = _perm_params(num_perm, seed)
@@ -65,9 +85,7 @@ def make_minhash_udf(num_perm: int = 64, shingle: int = 5, seed: int = 42):
         out = []
         for t in texts:
             h = _shingle_hashes(t or "", shingle)
-            # (a*h + b) mod p, min over shingles, per permutation
-            vals = (a[:, None] * h[None, :] + b[:, None]) % MERSENNE
-            out.append(vals.min(axis=1).astype(np.int64))
+            out.append(minhash_signature(h, a, b))
         return pd.Series(out)
 
     return minhash
