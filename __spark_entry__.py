@@ -48,7 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     _ship_package(spark)
     table_dir = _token_table(spark, 2_000)
-    out = "/tmp/clj-orc-spark-entry-out"
+    out = f"/tmp/clj-orc-spark-entry-out-{spark.sparkContext.applicationId}"
     shutil.rmtree(out, ignore_errors=True)
     src_path = os.path.join(table_dir, "tokens.parquet")
     encode(spark, src_path, out, n_partitions=4)
@@ -318,11 +318,21 @@ def _q_embed_near_dup(spark, sf):  # embedding-cosine near-dup pairs (exact)
     return cosine_near_dups(emb, threshold=0.38)
 
 
-def _q_embed_near_dup_lsh(spark, sf):  # LSH-bucketed scale path (rows-only)
+def _q_embed_near_dup_lsh(spark, sf):  # LSH-bucketed scale path (oracled)
+    """LSH candidates + exact-cosine verify, with bands chosen so candidate
+    recall is 1.0 at this data scale (r=1, 16 bands: per-pair miss prob
+    (1-0.624)^16 ≈ 2e-7 at the 0.38 threshold; seeds fixed → deterministic,
+    asserted equal to the exact O(n²) baseline in
+    tests/test_oracle_soundness.py).  The verify stage is exact, so the
+    output EQUALS cosine_near_dups' — same DuckDB oracle.  At 100 TB the
+    operating point moves to more planes/rows-per-band (recall traded for
+    bucket selectivity); the banding architecture is identical."""
     from clj_orc_spark.operators import cosine_near_dups_lsh
 
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-    return cosine_near_dups_lsh(emb, threshold=0.38, n_planes=16, bands=8)
+    return cosine_near_dups_lsh(
+        emb, threshold=0.38, n_planes=16, bands=16, max_bucket=600
+    )
 
 
 def _q_windowed_events(spark, sf):  # streaming windowed agg (batch-equivalent plan)
@@ -368,7 +378,12 @@ def _q_minhash_dedup(spark, sf):  # MinHash+LSH near-dup pairs (rows-only)
 def _q_minhash_verified(spark, sf):  # full candidate→verify dedup pipeline
     """MinHash LSH candidates verified by exact n-gram Jaccard — the
     two-stage shape a production near-dup pass runs (cheap probabilistic
-    recall, exact precision only on the candidate set)."""
+    recall, exact precision only on the candidate set).  Oracled: at this
+    scale the candidate stage has recall 1.0 (near-dup clusters share char
+    shingles at ~0.95 Jaccard; per-pair band-miss probability is
+    astronomically small at 16 bands × 4 rows, seeds fixed — asserted
+    against the brute-force exact pairs in tests/test_oracle_soundness.py),
+    so the verified output equals DuckDB's all-pairs exact 3-gram Jaccard."""
     from pyspark.sql import functions as F
 
     from clj_orc_spark.operators import minhash_lsh, ngram_jaccard_pairs
@@ -447,7 +462,10 @@ def _q_roundtrip_sql(spark, sf):
             "source",
         )
     )
-    out = f"/tmp/clj-orc-roundtrip-sql-{os.path.basename(os.path.normpath(sf))}"
+    # suffixed with the session's applicationId: two concurrent driver runs
+    # against the same sf must never rmtree each other's live encode dirs
+    out = (f"/tmp/clj-orc-roundtrip-sql-{os.path.basename(os.path.normpath(sf))}"
+           f"-{spark.sparkContext.applicationId}")
     shutil.rmtree(out, ignore_errors=True)
     encode(spark, df=toks, out_dir=out, n_partitions=4, resume=False)
     # column-pruned decode (doc_id payloads never touched) is ALSO under
@@ -482,10 +500,46 @@ def _q_roundtrip_pruned(spark, sf):
             "source",
         )
     )
-    out = f"/tmp/clj-orc-roundtrip-pruned-{os.path.basename(os.path.normpath(sf))}"
+    out = (f"/tmp/clj-orc-roundtrip-pruned-{os.path.basename(os.path.normpath(sf))}"
+           f"-{spark.sparkContext.applicationId}")
     shutil.rmtree(out, ignore_errors=True)
     encode(spark, df=toks, out_dir=out, n_partitions=4, resume=False)
     decoded = decode(spark, out, doc_id_range=("1", "4"))
+    return (
+        decoded.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_words"),
+            F.sum(
+                F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x)
+            ).cast("long").alias("total_word_chars"),
+        )
+    )
+
+
+def _q_roundtrip_source_pruned(spark, sf):
+    """Zone-map SOURCE membership decode under the oracle: encode the same
+    SQL-derived token table, decode with source_in — chunk pruning on the
+    recorded source min/max stats plus the exact isin filter must reproduce
+    exactly what DuckDB's WHERE source IN (...) sees."""
+    import shutil
+
+    from clj_orc_spark.pipeline import decode, encode
+
+    toks = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .selectExpr(
+            "CAST(doc_id AS string) AS doc_id",
+            "transform(split(text, ' '), w -> length(w)) AS tokens",
+            "CAST(size(split(text, ' ')) AS int) AS n_tok",
+            "source",
+        )
+    )
+    out = (f"/tmp/clj-orc-roundtrip-srcp-{os.path.basename(os.path.normpath(sf))}"
+           f"-{spark.sparkContext.applicationId}")
+    shutil.rmtree(out, ignore_errors=True)
+    encode(spark, df=toks, out_dir=out, n_partitions=4, resume=False)
+    decoded = decode(spark, out, source_in=["src3", "src7"])
     return (
         decoded.groupBy("source")
         .agg(
@@ -527,7 +581,7 @@ def _q_codec_manifest(spark, sf):  # codec selection audit (non-SQL → rows-onl
 
     _ship_package(spark)
     table_dir = _token_table(spark, 2_000)
-    out = "/tmp/clj-orc-spark-manifest-out"
+    out = f"/tmp/clj-orc-spark-manifest-out-{spark.sparkContext.applicationId}"
     shutil.rmtree(out, ignore_errors=True)
     encode(spark, os.path.join(table_dir, "tokens.parquet"), out, n_partitions=4)
     m = spark.read.parquet(os.path.join(out, "manifest", "chunks"))
@@ -583,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_roundtrip": _shipped(_q_encode_roundtrip),
         "roundtrip_sql": _shipped(_q_roundtrip_sql),
         "roundtrip_pruned": _shipped(_q_roundtrip_pruned),
+        "roundtrip_source_pruned": _shipped(_q_roundtrip_source_pruned),
         "multimodal_features": _shipped(_q_multimodal_features),
         "codec_manifest": _shipped(_q_codec_manifest),
     }
@@ -667,6 +722,47 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents"
             " WHERE CAST(doc_id AS VARCHAR) BETWEEN '1' AND '4'"
             " GROUP BY source"
+        ),
+        "roundtrip_source_pruned": (
+            "SELECT source, count(*) AS n_docs,"
+            " CAST(sum(len(string_split(text, ' '))) AS BIGINT)"
+            "  AS total_words,"
+            " CAST(sum(list_aggregate(list_transform(string_split(text, ' '),"
+            "  w -> length(w)), 'sum')) AS BIGINT) AS total_word_chars"
+            " FROM documents"
+            " WHERE source IN ('src3', 'src7')"
+            " GROUP BY source"
+        ),
+        # minhash_verified: the LSH candidate stage has recall 1.0 at this
+        # scale (seeds fixed, asserted in tests/test_oracle_soundness.py),
+        # and the verify stage is exact 3-gram Jaccard — so the output
+        # equals DuckDB's brute-force all-pairs computation.
+        "minhash_verified": (
+            "WITH g AS ("
+            "  SELECT CAST(doc_id AS VARCHAR) AS id,"
+            "    list_distinct([array_to_string(ws[i:i+2], ' ')"
+            "      for i in range(1, greatest(len(ws)-2, 1)+1)]) AS grams"
+            "  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws"
+            "        FROM documents))"
+            " SELECT id_a, id_b, jaccard FROM ("
+            "  SELECT a.id AS id_a, b.id AS id_b,"
+            "    round(len(list_intersect(a.grams, b.grams)) * 1.0 /"
+            "          greatest(len(list_distinct(a.grams || b.grams)), 1), 4)"
+            "     AS jaccard"
+            "  FROM g a, g b WHERE a.id < b.id)"
+            " WHERE jaccard >= 0.5"
+        ),
+        # embed_near_dup_lsh: exact-cosine verify + recall-1.0 banding at
+        # this scale (see _q_embed_near_dup_lsh) → equals the exact O(n²)
+        # baseline, so it shares embed_near_dup's oracle.
+        "embed_near_dup_lsh": (
+            "WITH d AS (SELECT vec_id,"
+            "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+            "  FROM embeddings)"
+            " SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+            "  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim"
+            " FROM d a, d b WHERE a.vec_id < b.vec_id"
+            " AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.38"
         ),
         "window_rank": (
             "SELECT lang, rnk, doc_id, n_chars FROM ("
@@ -799,7 +895,9 @@ def oracle_sql() -> dict[str, str]:
             "  count(*) AS n_docs"
             " FROM q GROUP BY source"
         ),
-        # engine-native / approximate ops (rows-only check): encode_roundtrip,
-        # codec_manifest, minhash_dedup, minhash_verified, simhash_dedup,
-        # ivf_ann
+        # engine-native / approximate ops (rows-only check, legitimately
+        # non-SQL): encode_roundtrip + codec_manifest (engine-native
+        # encode/manifest state), minhash_dedup + simhash_dedup (signature
+        # hashing not expressible in DuckDB), ivf_ann (approximate),
+        # multimodal_features (numpy codec/FFT math)
     }
