@@ -357,10 +357,11 @@ def make_rowgroup_encoder(chunk_bytes: int, fs=None):
                 for f, rg, lo, hi in json.loads(units_json):
                     if f not in handles:
                         handles[f] = pafs.open_parquet(f, fs)
-                    tbl = handles[f].read_row_group(
-                        int(rg),
-                        columns=["doc_id", "tokens", "n_tok", "source"],
-                    )
+                    cols = ["doc_id", "tokens", "n_tok", "source"]
+                    if int(rg) < 0:  # whole-file unit (manifest had no
+                        tbl = handles[f].read(columns=cols)  # split offsets)
+                    else:
+                        tbl = handles[f].read_row_group(int(rg), columns=cols)
                     if int(hi) >= 0:
                         tbl = tbl.slice(int(lo), int(hi) - int(lo))
                     if not tbl.num_rows:
