@@ -113,16 +113,25 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes, meta: dict | None = None) -> np.ndarray:
-    """binary → HxWxC uint8.  Real for BMP and PPM/PGM; JPEG/PNG need a
-    codec library not present in this environment (declared stub)."""
+    """binary → HxWxC uint8.  Real for BMP and PPM/PGM natively; JPEG/PNG
+    (and anything else Pillow knows) decode through Pillow when it is
+    importable at runtime — the declared stub only remains for environments
+    without any codec library (like this container)."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
-    raise NotImplementedError(
-        "JPEG/PNG decode requires an image codec library (Pillow/libjpeg) "
-        "not present in this environment; BMP and PPM/PGM decode natively"
-    )
+    try:
+        from PIL import Image
+    except ImportError:
+        raise NotImplementedError(
+            "JPEG/PNG decode requires an image codec library "
+            "(Pillow/libjpeg) not importable in this environment; BMP and "
+            "PPM/PGM decode natively"
+        ) from None
+    import io
+
+    return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
@@ -149,6 +158,10 @@ def image_feature(arr: np.ndarray, grid: int = 8) -> np.ndarray:
     """Real 64-dim feature: ``grid×grid`` block-mean grayscale thumbnail,
     scaled to [0, 1] — the classic near-dup image fingerprint."""
     gray = arr.astype(np.float32).mean(axis=2) if arr.ndim == 3 else arr.astype(np.float32)
+    if gray.shape[0] == 0 or gray.shape[1] == 0:
+        # a structurally valid 0xN image (netpbm/BMP allow it) would raise
+        # an opaque IndexError inside resize — fail like a decode error
+        raise ValueError("empty image (zero height or width)")
     if gray.shape[0] < grid or gray.shape[1] < grid:
         # tiny images: upsample first — duplicate reduceat indices would
         # otherwise divide block sums by zero cell counts (inf/NaN features)

@@ -25,6 +25,8 @@ with schema VALIDATION promoted to plan time like its
 
 from __future__ import annotations
 
+import os
+
 REQUIRED = {
     "doc_id": "string",
     "tokens": "array<int>",
@@ -58,9 +60,16 @@ def read_token_table(spark, source: str, format: str = "auto"):
     with no path separator → iceberg; everything else → parquet).
     """
     if format == "auto":
+        # a bare relative directory name ('data') is a PATH, not a table
+        # identifier — probe the filesystem before classifying, or the user
+        # gets a misleading 'needs iceberg-spark-runtime jar' error
         looks_like_ident = "/" not in source and "\\" not in source and \
-            not source.endswith(".parquet")
+            not source.endswith(".parquet") and not os.path.exists(source)
         format = "iceberg" if looks_like_ident else "parquet"
+    if format == "parquet" and "://" not in source and os.path.exists(source):
+        # absolutize: the JVM resolves relative paths against ITS cwd,
+        # which need not match the Python driver's
+        source = os.path.abspath(source)
     if format == "iceberg":
         try:
             df = spark.read.format("iceberg").load(source)

@@ -157,3 +157,66 @@ def test_decode_source_in_prunes_and_filters(spark, token_table_dir, tmp_dir):
     m = spark.read.parquet(os.path.join(out, "manifest", "chunks"))
     n_all = m.select("chunk_id").distinct().count()
     assert n_pruned <= n_all
+
+
+def test_decode_image_png_without_pillow_raises_declared_stub():
+    pil = True
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        pil = False
+    from clj_orc_spark.operators.multimodal import decode_image
+
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    if pil:
+        with pytest.raises(Exception):  # truncated PNG: Pillow decode error
+            decode_image(png_magic)
+    else:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_image(png_magic)
+
+
+@pytest.mark.skipif(
+    not pytest.importorskip("importlib").util.find_spec("PIL"),
+    reason="Pillow not installed",
+)
+def test_decode_image_png_roundtrip_with_pillow():
+    """When Pillow IS available the dispatch must decode a real PNG."""
+    import io
+
+    from PIL import Image
+
+    from clj_orc_spark.operators.multimodal import decode_image
+
+    arr = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    assert np.array_equal(decode_image(buf.getvalue()), arr)
+
+
+def test_image_feature_rejects_empty_image():
+    from clj_orc_spark.operators.multimodal import image_feature
+
+    with pytest.raises(ValueError, match="empty image"):
+        image_feature(np.zeros((0, 5), dtype=np.uint8))
+    with pytest.raises(ValueError, match="empty image"):
+        image_feature(np.zeros((5, 0, 3), dtype=np.uint8))
+
+
+def test_read_token_table_auto_treats_existing_dir_as_parquet(
+    spark, token_table_dir, tmp_dir, monkeypatch
+):
+    """A bare relative directory name that exists on disk must route to the
+    parquet reader, not fail with a misleading Iceberg-connector error."""
+    import shutil
+
+    from clj_orc_spark.sources.table import read_token_table
+
+    os.makedirs(os.path.join(tmp_dir, "data"))
+    shutil.copy(
+        os.path.join(token_table_dir, "tokens.parquet"),
+        os.path.join(tmp_dir, "data", "tokens.parquet"),
+    )
+    monkeypatch.chdir(tmp_dir)
+    df = read_token_table(spark, "data")
+    assert df.count() == 5_000
