@@ -161,6 +161,25 @@ def as_unsigned_residuals(arr: np.ndarray, ref: int) -> np.ndarray:
     return a - _ref_u64(ref)  # uint64 wraps mod 2**64
 
 
+_NARROW_DTYPES = (np.int8, np.uint8, np.int16, np.uint16, np.int32, np.uint32)
+
+
+def narrow_residuals(arr: np.ndarray, ref: int) -> np.ndarray:
+    """Frame-of-reference residuals in the NARROWEST exact dtype: uint32 for
+    ≤32-bit inputs (``(arr - ref) mod 2**32`` equals ``arr - ref`` because
+    the true residual of a ≤32-bit column always fits 32 bits), uint64
+    otherwise.  The int32 token-column hot path does half the memory
+    traffic this way; every downstream op (mask/compare/shift/pack) yields
+    byte-identical payloads, pinned by tests/test_kernels.py."""
+    if arr.dtype in _NARROW_DTYPES:
+        if arr.dtype == np.uint32:
+            a = arr
+        else:
+            a = arr.astype(np.int32, copy=False).view(np.uint32)
+        return a - np.uint32(int(ref) & 0xFFFFFFFF)
+    return as_unsigned_residuals(arr, ref)
+
+
 def from_unsigned_residuals(res: np.ndarray, ref: int, dtype: str) -> np.ndarray:
     """Inverse of :func:`as_unsigned_residuals`, restoring the exact dtype."""
     base = res + _ref_u64(ref)  # wraps mod 2**64

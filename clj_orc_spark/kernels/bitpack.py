@@ -21,9 +21,10 @@ from __future__ import annotations
 import numpy as np
 
 from .base import (
-    as_unsigned_residuals,
+    as_unsigned_residuals,  # noqa: F401  (re-exported for delta/rle/dict)
     bit_width,
     from_unsigned_residuals,
+    narrow_residuals,
     pack_sections,
     register,
     split_sections,
@@ -33,20 +34,29 @@ _FAST_WIDTH_DTYPE = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}
 
 
 def pack_bits(values: np.ndarray, width: int) -> bytes:
-    """Pack uint64 ``values`` (< 2**width) at ``width`` bits, little-endian.
+    """Pack unsigned ``values`` (< 2**width) at ``width`` bits, little-endian.
 
     Byte-level fast path: view each value's low ``ceil(width/8)`` bytes, let
     C-speed ``np.unpackbits``/``np.packbits`` do the bit shuffling — no n×w
     uint64 intermediate (the naive shift-matrix costs ~50x more memory traffic
     and dominated the encode profile before this).
+
+    Accepts uint32 input natively (the int32-column residual fast path —
+    widening to uint64 just to throw the high half away doubled the hot
+    path's memory traffic); output bytes are identical either way, since a
+    value's low ``nb`` little-endian bytes don't depend on its dtype width.
     """
-    values = np.ascontiguousarray(values, dtype=np.uint64)
     if width == 0 or len(values) == 0:
         return b""
+    if values.dtype != np.uint32 or width > 32:
+        values = np.ascontiguousarray(values, dtype=np.uint64)
+    else:
+        values = np.ascontiguousarray(values)
     if width in _FAST_WIDTH_DTYPE:
         return values.astype(_FAST_WIDTH_DTYPE[width]).tobytes()
     nb = (width + 7) // 8
-    le_bytes = values.view(np.uint8).reshape(-1, 8)[:, :nb]
+    itemsize = values.dtype.itemsize
+    le_bytes = values.view(np.uint8).reshape(-1, itemsize)[:, :nb]
     bits = np.unpackbits(le_bytes, axis=1, bitorder="little")[:, :width]
     return np.packbits(bits.ravel(), bitorder="little").tobytes()
 
@@ -100,7 +110,7 @@ class ForBitpack:
         if n == 0:
             return b"", {"codec": cls.name, "n": 0, "dtype": dtype, "ref": 0, "width": 0}
         ref = int(arr.min())
-        res = as_unsigned_residuals(arr, ref)
+        res = narrow_residuals(arr, ref)
         width = bit_width(int(res.max()))
         return pack_bits(res, width), {
             "codec": cls.name,
@@ -208,13 +218,14 @@ class PatchedFor:
             return b"", {"codec": cls.name, "n": 0, "dtype": dtype, "ref": 0,
                          "width": 0, "full_width": 0, "n_exc": 0, "sections": []}
         ref = int(arr.min())
-        res = as_unsigned_residuals(arr, ref)
+        res = narrow_residuals(arr, ref)
+        one = res.dtype.type  # dtype-local scalars keep uint32 ops uint32
         full = bit_width(int(res.max()))
         if width_hint is not None and width_hint < full:
             w = width_hint  # selector-sampled choice; cost deviation is tiny
         else:
             w, _, _ = cls._best_width(res, n)
-        mask = np.uint64((1 << w) - 1) if w else np.uint64(0)
+        mask = one((1 << w) - 1) if w else one(0)
         base = res & mask
         exc_mask = res > mask
         exc_idx = np.flatnonzero(exc_mask)
@@ -224,7 +235,7 @@ class PatchedFor:
             pos_section = np.packbits(exc_mask, bitorder="little").tobytes()
         else:
             pos_section = pack_bits(exc_idx.astype(np.uint64), pos_w)
-        hi_vals = res[exc_idx] >> np.uint64(w)
+        hi_vals = res[exc_idx] >> one(w)
         hi_meta = None
         hi_section = None
         # recursive exception encoding — only when the high-bits histogram

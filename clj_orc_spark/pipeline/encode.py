@@ -91,8 +91,19 @@ def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int,
     chunk 0 of a partition pays full selection + FSST table construction,
     later chunks reuse it — selection was ~half the string encode time."""
     n = tbl.num_rows
-    tokens = tbl.column("tokens").combine_chunks()
-    flat = np.asarray(tokens.flatten(), dtype=np.int32)
+    # flatten per chunk, NOT combine_chunks().flatten(): combining copies
+    # the whole list column (~2x the chunk's token bytes in memory traffic),
+    # while per-chunk flatten() is an offset-aware zero-copy view — one
+    # concatenate only when the table actually holds multiple chunks
+    tok_parts = [
+        np.asarray(c.flatten(), dtype=np.int32)
+        for c in tbl.column("tokens").chunks
+    ]
+    flat = (
+        tok_parts[0] if len(tok_parts) == 1
+        else np.concatenate(tok_parts) if tok_parts
+        else np.empty(0, dtype=np.int32)
+    )
     n_tok = np.asarray(tbl.column("n_tok").combine_chunks(), dtype=np.int32)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(n_tok, out=offsets[1:])

@@ -78,6 +78,5 @@ def test_oracle_keys_subset_of_queries():
     # non-SQL ops are known and intentional (engine-native or approximate)
     assert qs - os_ == {
         "encode_roundtrip", "codec_manifest", "minhash_dedup",
-        "minhash_verified", "simhash_dedup", "ivf_ann", "embed_near_dup_lsh",
-        "multimodal_features",
+        "simhash_dedup", "ivf_ann", "multimodal_features",
     }

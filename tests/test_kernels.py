@@ -126,3 +126,29 @@ def test_string_col_arrow_roundtrip():
     sliced = arr2.slice(1, 2)
     sc = StringCol.from_arrow(sliced)
     assert sc.to_list() == [b"bb", b"cc"]
+
+
+def test_narrow_residual_path_payloads_match_wide_path():
+    """The uint32 residual fast path (int32/int16/uint32 inputs) must emit
+    BYTE-IDENTICAL payloads to the uint64 path on the same values — the
+    encoded format is dtype-independent; only meta records the dtype."""
+    import numpy as np
+
+    from clj_orc_spark.kernels.bitpack import ForBitpack, PatchedFor
+
+    rng = np.random.default_rng(11)
+    cases = [
+        rng.integers(-2**31, 2**31, 50_000).astype(np.int32),
+        np.minimum(rng.zipf(1.2, 50_000), 2**31 - 1).astype(np.int32),
+        rng.integers(0, 2**32, 10_000, dtype=np.uint32),
+        rng.integers(-2**15, 2**15, 10_000).astype(np.int16),
+        np.array([], dtype=np.int32),
+        np.array([-2**31, 2**31 - 1, 0, 7], dtype=np.int32),
+    ]
+    for arr in cases:
+        wide = arr.astype(np.int64)
+        for codec in (ForBitpack, PatchedFor):
+            p_narrow, m_narrow = codec.encode(arr)
+            p_wide, m_wide = codec.encode(wide)
+            assert p_narrow == p_wide, (codec.name, arr.dtype)
+            assert np.array_equal(codec.decode(p_narrow, m_narrow), arr)
