@@ -181,7 +181,19 @@ def narrow_residuals(arr: np.ndarray, ref: int) -> np.ndarray:
 
 
 def from_unsigned_residuals(res: np.ndarray, ref: int, dtype: str) -> np.ndarray:
-    """Inverse of :func:`as_unsigned_residuals`, restoring the exact dtype."""
+    """Inverse of :func:`as_unsigned_residuals`, restoring the exact dtype.
+
+    A uint32 ``res`` (the narrow decode path, 32-bit dtypes only) adds the
+    reference mod 2**32 — exact because a ≤32-bit column's values equal
+    their value mod 2**32 under the target dtype's view."""
+    if res.dtype == np.uint32:
+        base32 = res + np.uint32(int(ref) & 0xFFFFFFFF)  # wraps mod 2**32
+        if dtype == "uint32":
+            return base32
+        if dtype == "int32":
+            return base32.view(np.int32)
+        res = base32.astype(np.uint64)  # non-32-bit dtype: widen, ref done
+        ref = 0
     base = res + _ref_u64(ref)  # wraps mod 2**64
     np_dtype = INT_DTYPES[dtype]
     if dtype == "bool":

@@ -61,12 +61,18 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
     return np.packbits(bits.ravel(), bitorder="little").tobytes()
 
 
-def unpack_bits(buf: bytes, width: int, n: int) -> np.ndarray:
-    """Inverse of :func:`pack_bits`; returns uint64 array of length ``n``."""
+def unpack_bits(buf: bytes, width: int, n: int, narrow: bool = False) -> np.ndarray:
+    """Inverse of :func:`pack_bits`; returns uint64 (or uint32 when
+    ``narrow`` and ``width <= 32`` — the ≤32-bit-column decode fast path,
+    halving unpack memory traffic) of length ``n``."""
+    narrow = narrow and width <= 32
+    out_dtype = np.uint32 if narrow else np.uint64
     if width == 0 or n == 0:
-        return np.zeros(n, dtype=np.uint64)
+        return np.zeros(n, dtype=out_dtype)
     if width in _FAST_WIDTH_DTYPE:
-        return np.frombuffer(buf, dtype=_FAST_WIDTH_DTYPE[width], count=n).astype(np.uint64)
+        return np.frombuffer(
+            buf, dtype=_FAST_WIDTH_DTYPE[width], count=n
+        ).astype(out_dtype)
     bits = np.unpackbits(
         np.frombuffer(buf, dtype=np.uint8), count=n * width, bitorder="little"
     ).reshape(n, width)
@@ -74,9 +80,9 @@ def unpack_bits(buf: bytes, width: int, n: int) -> np.ndarray:
     padded = np.zeros((n, nb * 8), dtype=np.uint8)
     padded[:, :width] = bits
     by = np.packbits(padded, axis=1, bitorder="little")  # (n, nb) LE bytes
-    out = np.zeros((n, 8), dtype=np.uint8)
+    out = np.zeros((n, out_dtype(0).nbytes), dtype=np.uint8)
     out[:, :nb] = by
-    return out.view(np.uint64).ravel()
+    return out.view(out_dtype).ravel()
 
 
 def bit_lengths(res: np.ndarray) -> np.ndarray:
@@ -125,7 +131,8 @@ class ForBitpack:
         n = meta["n"]
         if n == 0:
             return np.empty(0, dtype=meta["dtype"])
-        res = unpack_bits(payload, meta["width"], n)
+        narrow = meta["dtype"] in ("int32", "uint32") and meta["width"] <= 32
+        res = unpack_bits(payload, meta["width"], n, narrow=narrow)
         return from_unsigned_residuals(res, meta["ref"], meta["dtype"])
 
     @staticmethod
@@ -266,7 +273,10 @@ class PatchedFor:
         if n == 0:
             return np.empty(0, dtype=meta["dtype"])
         base_b, pos_b, hi_b = split_sections(payload, meta["sections"])
-        res = unpack_bits(base_b, meta["width"], n)
+        narrow = (
+            meta["dtype"] in ("int32", "uint32") and meta["full_width"] <= 32
+        )
+        res = unpack_bits(base_b, meta["width"], n, narrow=narrow)
         n_exc = meta["n_exc"]
         if n_exc:
             if meta.get("pos_kind") == "bitmap":
@@ -279,8 +289,14 @@ class PatchedFor:
             if meta.get("hi"):
                 hi = decode_int_sub(hi_b, meta["hi"]).astype(np.int64).view(np.uint64)
             else:
-                hi = unpack_bits(hi_b, meta["full_width"] - meta["width"], n_exc)
-            res[idx] |= hi << np.uint64(meta["width"])
+                hi = unpack_bits(
+                    hi_b, meta["full_width"] - meta["width"], n_exc,
+                    narrow=narrow,
+                )
+            if narrow:
+                res[idx] |= hi.astype(np.uint32) << np.uint32(meta["width"])
+            else:
+                res[idx] |= hi << np.uint64(meta["width"])
         return from_unsigned_residuals(res, meta["ref"], meta["dtype"])
 
     @staticmethod

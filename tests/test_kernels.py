@@ -152,3 +152,26 @@ def test_narrow_residual_path_payloads_match_wide_path():
             p_wide, m_wide = codec.encode(wide)
             assert p_narrow == p_wide, (codec.name, arr.dtype)
             assert np.array_equal(codec.decode(p_narrow, m_narrow), arr)
+
+
+def test_narrow_decode_path_roundtrips_extremes():
+    """uint32-path decode must reproduce exact values for 32-bit dtypes
+    across extremes, dense/sparse exceptions, and recursive hi streams."""
+    import numpy as np
+
+    from clj_orc_spark.kernels.bitpack import ForBitpack, PatchedFor
+
+    rng = np.random.default_rng(23)
+    cases = [
+        np.array([-2**31, 2**31 - 1], dtype=np.int32),
+        np.array([0, 2**32 - 1], dtype=np.uint32),
+        np.minimum(rng.zipf(1.1, 200_000), 2**31 - 1).astype(np.int32),
+        rng.integers(0, 2**32, 100_000, dtype=np.uint32),
+        np.full(1000, -7, dtype=np.int32),
+    ]
+    for arr in cases:
+        for codec in (ForBitpack, PatchedFor):
+            p, m = codec.encode(arr)
+            out = codec.decode(p, m)
+            assert out.dtype == arr.dtype
+            assert np.array_equal(out, arr), (codec.name, str(arr.dtype))
