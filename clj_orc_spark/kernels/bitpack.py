@@ -21,7 +21,6 @@ from __future__ import annotations
 import numpy as np
 
 from .base import (
-    as_unsigned_residuals,  # noqa: F401  (re-exported for delta/rle/dict)
     bit_width,
     from_unsigned_residuals,
     narrow_residuals,
