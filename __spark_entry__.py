@@ -319,17 +319,22 @@ def _q_embed_near_dup(spark, sf):  # embedding-cosine near-dup pairs (exact)
 
 
 def _q_embed_near_dup_lsh(spark, sf):  # LSH-bucketed scale path (oracled)
-    """LSH candidates + exact-cosine verify, with bands chosen so candidate
-    recall is 1.0 at this data scale (r=1, 16 bands: per-pair miss prob
-    (1-0.624)^16 ≈ 2e-7 at the 0.38 threshold; seeds fixed → deterministic,
-    asserted equal to the exact O(n²) baseline in
-    tests/test_oracle_soundness.py).  The verify stage is exact, so the
-    output EQUALS cosine_near_dups' — same DuckDB oracle.  At 100 TB the
-    operating point moves to more planes/rows-per-band (recall traded for
-    bucket selectivity); the banding architecture is identical."""
+    """LSH candidates + exact-cosine verify over a deterministic bounded
+    slice (vec_id < 500, mirrored in the oracle SQL), with bands chosen so
+    candidate recall is 1.0 at that size: r=1, 16 bands → per-pair miss
+    prob (1-0.624)^16 ≈ 2e-7 at the 0.38 threshold, and every ~250-member
+    bucket clears max_bucket.  Seeds fixed → deterministic; asserted equal
+    to the exact O(n²) baseline in tests/test_oracle_soundness.py.  The
+    slice keeps the oracle sound at EVERY sf — at sf0.1 the unbounded
+    r=1 buckets (~n/2 members) would exceed any cap and silently return
+    nothing.  The UNBOUNDED scale path (higher r, bounded buckets, recall
+    traded for selectivity) is exercised by
+    test_operators.py::test_cosine_near_dups_lsh_recall."""
     from clj_orc_spark.operators import cosine_near_dups_lsh
 
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").where(
+        F.col("vec_id") < 500
+    )
     return cosine_near_dups_lsh(
         emb, threshold=0.38, n_planes=16, bands=16, max_bucket=600
     )
@@ -378,20 +383,30 @@ def _q_minhash_dedup(spark, sf):  # MinHash+LSH near-dup pairs (rows-only)
 def _q_minhash_verified(spark, sf):  # full candidate→verify dedup pipeline
     """MinHash LSH candidates verified by exact n-gram Jaccard — the
     two-stage shape a production near-dup pass runs (cheap probabilistic
-    recall, exact precision only on the candidate set).  Oracled: at this
-    scale the candidate stage has recall 1.0 (near-dup clusters share char
-    shingles at ~0.95 Jaccard; per-pair band-miss probability is
-    astronomically small at 16 bands × 4 rows, seeds fixed — asserted
-    against the brute-force exact pairs in tests/test_oracle_soundness.py),
-    so the verified output equals DuckDB's all-pairs exact 3-gram Jaccard."""
+    recall, exact precision only on the candidate set).  Oracled: the
+    candidate stage is tuned for recall 1.0 with margin — est threshold
+    0.35 (2.5σ below the 0.5 verify cut at 64 perms, so a borderline pair's
+    MinHash estimate can't drop it) and 32 bands × 2 rows (a pair at
+    char-shingle Jaccard 0.5 misses all bands w.p. (1-0.25)^32 ≈ 1e-4;
+    the planted near-dups sit at ~0.95 where the miss probability is
+    negligible).  Seeds fixed — asserted against the brute-force exact
+    pairs in tests/test_oracle_soundness.py — so the verified output
+    equals DuckDB's all-pairs exact 3-gram Jaccard.  Bounded to the
+    deterministic doc_id<500 slice (= ALL docs at sf0.01, mirrored in the
+    oracle SQL) so the O(n²) brute-force oracle stays tractable at every
+    sf the driver might point at."""
     from pyspark.sql import functions as F
 
     from clj_orc_spark.operators import minhash_lsh, ngram_jaccard_pairs
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .where(F.col("doc_id") < 500)
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
     )
-    cand = minhash_lsh(docs, threshold=0.5).select("id_a", "id_b")
+    cand = minhash_lsh(
+        docs, threshold=0.35, num_perm=64, bands=32
+    ).select("id_a", "id_b")
     return (
         ngram_jaccard_pairs(docs, cand, n=3)
         .where(F.col("jaccard") >= 0.5)
@@ -443,15 +458,14 @@ def _q_encode_roundtrip(spark, sf):  # flagship engine op (non-SQL → rows-only
     return entry(spark)
 
 
-def _q_roundtrip_sql(spark, sf):
-    """Bit-identity as an ORACLE-CHECKED property: derive a token table from
-    ``documents`` with pure SQL (word lengths), push it through the FULL
-    encode → decode engine, and aggregate the DECODED rows.  The DuckDB
-    oracle computes the same aggregate from the raw text — the value hash
-    matches iff the engine round-trip preserved every token array."""
+def _roundtrip_store(spark, sf: str, tag: str) -> str:
+    """Encode the SQL-derived token table (word lengths from ``documents``)
+    into a fresh per-session store; returns the out dir.  The dir is keyed
+    by (tag, sf, applicationId): two concurrent driver runs against the
+    same sf must never rmtree each other's live encode dirs."""
     import shutil
 
-    from clj_orc_spark.pipeline import decode, encode
+    from clj_orc_spark.pipeline import encode
 
     toks = (
         spark.read.parquet(f"{sf}/documents.parquet")
@@ -462,94 +476,59 @@ def _q_roundtrip_sql(spark, sf):
             "source",
         )
     )
-    # suffixed with the session's applicationId: two concurrent driver runs
-    # against the same sf must never rmtree each other's live encode dirs
-    out = (f"/tmp/clj-orc-roundtrip-sql-{os.path.basename(os.path.normpath(sf))}"
-           f"-{spark.sparkContext.applicationId}")
+    out = (f"/tmp/clj-orc-roundtrip-{tag}-"
+           f"{os.path.basename(os.path.normpath(sf))}-"
+           f"{spark.sparkContext.applicationId}")
     shutil.rmtree(out, ignore_errors=True)
     encode(spark, df=toks, out_dir=out, n_partitions=4, resume=False)
-    # column-pruned decode (doc_id payloads never touched) is ALSO under
-    # the oracle: pruning must not perturb the surviving columns
-    decoded = decode(spark, out, columns=["tokens", "n_tok", "source"])
-    return (
-        decoded.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").cast("long").alias("total_words"),
-            F.sum(
-                F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x)
-            ).cast("long").alias("total_word_chars"),
-        )
+    return out
+
+
+def _roundtrip_agg(decoded: DataFrame) -> DataFrame:
+    """The oracle-compared aggregate of DECODED rows — the value hash
+    matches DuckDB's raw-text computation iff the engine round-trip
+    preserved every token array."""
+    return decoded.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_words"),
+        F.sum(
+            F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x)
+        ).cast("long").alias("total_word_chars"),
+    )
+
+
+def _q_roundtrip_sql(spark, sf):
+    """Bit-identity as an ORACLE-CHECKED property: derive a token table from
+    ``documents`` with pure SQL, push it through the FULL encode → decode
+    engine, aggregate the DECODED rows against DuckDB on the raw text.
+    Column-pruned decode (doc_id payloads never touched) is ALSO under the
+    oracle: pruning must not perturb the surviving columns."""
+    from clj_orc_spark.pipeline import decode
+
+    out = _roundtrip_store(spark, sf, "sql")
+    return _roundtrip_agg(
+        decode(spark, out, columns=["tokens", "n_tok", "source"])
     )
 
 
 def _q_roundtrip_pruned(spark, sf):
-    """Zone-map predicate decode under the oracle: same SQL-derived token
-    table as roundtrip_sql, but decoded with a doc_id range — chunk pruning
-    + exact filtering must reproduce exactly what DuckDB's WHERE sees."""
-    import shutil
+    """Zone-map predicate decode under the oracle: decoded with a doc_id
+    range — chunk pruning + exact filtering must reproduce exactly what
+    DuckDB's WHERE sees."""
+    from clj_orc_spark.pipeline import decode
 
-    from clj_orc_spark.pipeline import decode, encode
-
-    toks = (
-        spark.read.parquet(f"{sf}/documents.parquet")
-        .selectExpr(
-            "CAST(doc_id AS string) AS doc_id",
-            "transform(split(text, ' '), w -> length(w)) AS tokens",
-            "CAST(size(split(text, ' ')) AS int) AS n_tok",
-            "source",
-        )
-    )
-    out = (f"/tmp/clj-orc-roundtrip-pruned-{os.path.basename(os.path.normpath(sf))}"
-           f"-{spark.sparkContext.applicationId}")
-    shutil.rmtree(out, ignore_errors=True)
-    encode(spark, df=toks, out_dir=out, n_partitions=4, resume=False)
-    decoded = decode(spark, out, doc_id_range=("1", "4"))
-    return (
-        decoded.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").cast("long").alias("total_words"),
-            F.sum(
-                F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x)
-            ).cast("long").alias("total_word_chars"),
-        )
-    )
+    out = _roundtrip_store(spark, sf, "pruned")
+    return _roundtrip_agg(decode(spark, out, doc_id_range=("1", "4")))
 
 
 def _q_roundtrip_source_pruned(spark, sf):
-    """Zone-map SOURCE membership decode under the oracle: encode the same
-    SQL-derived token table, decode with source_in — chunk pruning on the
-    recorded source min/max stats plus the exact isin filter must reproduce
-    exactly what DuckDB's WHERE source IN (...) sees."""
-    import shutil
+    """Zone-map SOURCE membership decode under the oracle: chunk pruning on
+    the recorded source min/max stats plus the exact isin filter must
+    reproduce exactly what DuckDB's WHERE source IN (...) sees."""
+    from clj_orc_spark.pipeline import decode
 
-    from clj_orc_spark.pipeline import decode, encode
-
-    toks = (
-        spark.read.parquet(f"{sf}/documents.parquet")
-        .selectExpr(
-            "CAST(doc_id AS string) AS doc_id",
-            "transform(split(text, ' '), w -> length(w)) AS tokens",
-            "CAST(size(split(text, ' ')) AS int) AS n_tok",
-            "source",
-        )
-    )
-    out = (f"/tmp/clj-orc-roundtrip-srcp-{os.path.basename(os.path.normpath(sf))}"
-           f"-{spark.sparkContext.applicationId}")
-    shutil.rmtree(out, ignore_errors=True)
-    encode(spark, df=toks, out_dir=out, n_partitions=4, resume=False)
-    decoded = decode(spark, out, source_in=["src3", "src7"])
-    return (
-        decoded.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").cast("long").alias("total_words"),
-            F.sum(
-                F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x)
-            ).cast("long").alias("total_word_chars"),
-        )
-    )
+    out = _roundtrip_store(spark, sf, "srcp")
+    return _roundtrip_agg(decode(spark, out, source_in=["src3", "src7"]))
 
 
 def _q_multimodal_features(spark, sf):  # real-codec media path (rows-only)
@@ -743,7 +722,7 @@ def oracle_sql() -> dict[str, str]:
             "    list_distinct([array_to_string(ws[i:i+2], ' ')"
             "      for i in range(1, greatest(len(ws)-2, 1)+1)]) AS grams"
             "  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws"
-            "        FROM documents))"
+            "        FROM documents WHERE doc_id < 500))"
             " SELECT id_a, id_b, jaccard FROM ("
             "  SELECT a.id AS id_a, b.id AS id_b,"
             "    round(len(list_intersect(a.grams, b.grams)) * 1.0 /"
@@ -752,13 +731,13 @@ def oracle_sql() -> dict[str, str]:
             "  FROM g a, g b WHERE a.id < b.id)"
             " WHERE jaccard >= 0.5"
         ),
-        # embed_near_dup_lsh: exact-cosine verify + recall-1.0 banding at
-        # this scale (see _q_embed_near_dup_lsh) → equals the exact O(n²)
-        # baseline, so it shares embed_near_dup's oracle.
+        # embed_near_dup_lsh: exact-cosine verify + recall-1.0 banding on
+        # the deterministic vec_id<500 slice (see _q_embed_near_dup_lsh) →
+        # equals the exact O(n²) baseline on the same slice.
         "embed_near_dup_lsh": (
             "WITH d AS (SELECT vec_id,"
             "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
-            "  FROM embeddings)"
+            "  FROM embeddings WHERE vec_id < 500)"
             " SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
             "  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim"
             " FROM d a, d b WHERE a.vec_id < b.vec_id"

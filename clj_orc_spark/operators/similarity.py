@@ -67,23 +67,34 @@ def _kmeans(sample: np.ndarray, n_centroids: int, iters: int = 8,
 
 
 def train_ivf(df: DataFrame, n_centroids: int = 16, vec_col: str = "embedding",
-              sample_rows: int = 4096, seed: int = 42) -> np.ndarray:
+              sample_rows: int = 4096, seed: int = 42,
+              n_rows: int | None = None) -> np.ndarray:
     """Driver-side seeded k-means codebook from a bounded UNIFORM sample.
 
     ``df.sample`` draws from every partition — a ``limit(sample_rows)``
-    would take the FIRST partition's rows only, biasing the codebook to one
-    shard's distribution at scale (round-2 judge finding).  The fraction is
-    4x-oversampled then limit-bounded, so the driver never holds more than
-    ``sample_rows`` vectors."""
-    n = df.count()
+    would take the FIRST partitions' rows only, biasing the codebook to one
+    shard's distribution at scale (round-2 judge finding).  No ``limit``
+    is applied to the sample either: Spark's GlobalLimit consumes
+    partitions in order, which would re-introduce the same bias.  Instead
+    the fraction targets ~1.25×``sample_rows``, the whole sample is
+    collected (driver-bounded), and any excess is subsampled in numpy with
+    the same seed.  ``n_rows`` lets callers who already know the table size
+    skip the count job."""
+    n = df.count() if n_rows is None else int(n_rows)
     if n == 0:
         raise ValueError("cannot train IVF codebook on an empty DataFrame")
-    frac = min(1.0, 4.0 * sample_rows / n)
-    s = df.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_rows)
-    vecs = s.toPandas()[vec_col].to_list()
+    frac = min(1.0, 1.25 * sample_rows / n)
+    vecs = df.select(vec_col).sample(fraction=frac, seed=seed).toPandas()[
+        vec_col
+    ].to_list()
     if not vecs:  # tiny-fraction edge: sampling returned nothing
         vecs = df.select(vec_col).limit(sample_rows).toPandas()[vec_col].to_list()
     sample = np.array(vecs, dtype=np.float64)
+    if len(sample) > sample_rows:
+        keep = np.random.default_rng(seed).choice(
+            len(sample), size=sample_rows, replace=False
+        )
+        sample = sample[np.sort(keep)]
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     norms[norms == 0] = 1
     return _kmeans(sample / norms, n_centroids, seed=seed)

@@ -364,49 +364,61 @@ def make_rowgroup_encoder(chunk_bytes: int, fs=None):
                 pid = int(pid)
                 seq = 0
                 sel_cache: dict = {}
+                # handles are reused across a bin's units of the same file
+                # but MUST be closed before the next bin: a bin spanning
+                # thousands of small files (Iceberg) would otherwise
+                # exhaust fds / hold object-store streams for the task's
+                # whole lifetime
                 handles: dict[str, object] = {}
-                for f, rg, lo, hi in json.loads(units_json):
-                    if f not in handles:
-                        handles[f] = pafs.open_parquet(f, fs)
-                    cols = ["doc_id", "tokens", "n_tok", "source"]
-                    if int(rg) < 0:  # whole-file unit (manifest had no
-                        tbl = handles[f].read(columns=cols)  # split offsets)
-                    else:
-                        tbl = handles[f].read_row_group(int(rg), columns=cols)
-                    if int(hi) >= 0:
-                        tbl = tbl.slice(int(lo), int(hi) - int(lo))
-                    if not tbl.num_rows:
-                        continue
-                    # chunk boundaries straight on the row-group table:
-                    # zero-copy slices into the byte-budget governor — no
-                    # re-batching/concat copies on the hot path
-                    tok_csum = np.cumsum(
-                        np.asarray(
-                            tbl.column("n_tok").combine_chunks(), dtype=np.int64
-                        )
-                        * 4
+                try:
+                    yield from encode_units(
+                        pid, json.loads(units_json), handles, seq, sel_cache
                     )
-                    row = 0
-                    while row < tbl.num_rows:
-                        base = int(tok_csum[row - 1]) if row else 0
-                        end = int(
-                            np.searchsorted(
-                                tok_csum, base + chunk_bytes, side="right"
-                            )
-                        )
-                        end = min(tbl.num_rows, max(row + 1, end))
-                        rows = _encode_chunk_rows(
-                            tbl.slice(row, end - row), pid, seq, sel_cache
-                        )
-                        seq += 1
-                        row = end
-                        yield pa.RecordBatch.from_arrays(
-                            [
-                                pa.array(rows[fld.name], type=fld.type)
-                                for fld in OUT_SCHEMA
-                            ],
-                            schema=OUT_SCHEMA,
-                        )
+                finally:
+                    for h in handles.values():
+                        try:
+                            h.close()
+                        except Exception:
+                            pass
+
+    def encode_units(pid, units, handles, seq, sel_cache):
+        for f, rg, lo, hi in units:
+            if f not in handles:
+                handles[f] = pafs.open_parquet(f, fs)
+            cols = ["doc_id", "tokens", "n_tok", "source"]
+            if int(rg) < 0:  # whole-file unit (manifest had no
+                tbl = handles[f].read(columns=cols)  # split offsets)
+            else:
+                tbl = handles[f].read_row_group(int(rg), columns=cols)
+            if int(hi) >= 0:
+                tbl = tbl.slice(int(lo), int(hi) - int(lo))
+            if not tbl.num_rows:
+                continue
+            # chunk boundaries straight on the row-group table:
+            # zero-copy slices into the byte-budget governor — no
+            # re-batching/concat copies on the hot path
+            tok_csum = np.cumsum(
+                np.asarray(
+                    tbl.column("n_tok").combine_chunks(), dtype=np.int64
+                )
+                * 4
+            )
+            row = 0
+            while row < tbl.num_rows:
+                base = int(tok_csum[row - 1]) if row else 0
+                end = int(
+                    np.searchsorted(tok_csum, base + chunk_bytes, side="right")
+                )
+                end = min(tbl.num_rows, max(row + 1, end))
+                rows = _encode_chunk_rows(
+                    tbl.slice(row, end - row), pid, seq, sel_cache
+                )
+                seq += 1
+                row = end
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(rows[fld.name], type=fld.type) for fld in OUT_SCHEMA],
+                    schema=OUT_SCHEMA,
+                )
 
     return run
 
@@ -499,16 +511,23 @@ def _input_row_count(files: list[str] | None, fs=None) -> int | None:
 
 def _load_or_compute_plan(spark, df, out_dir: str, n_partitions: int,
                           files: list[str] | None, fs=None,
-                          assign_hash: str = "xxhash64") -> dict:
+                          assign_hash: str = "xxhash64",
+                          degraded_from: str | None = None) -> dict:
     """Plan once, persist, reuse — resumed runs must assign identical
     part_ids or per-partition lineage is meaningless.  ``assign_hash``
     records which salting hash the run uses (fnv1a for the fused pyarrow
-    scan, xxhash64 for the JVM DataFrame path); a resume must keep it."""
+    scan, xxhash64 for the JVM DataFrame path); a resume must keep it.
+    ``degraded_from`` records that this plan exists only because the
+    zero-shuffle scan was unavailable at plan time — the record makes the
+    pinning inspectable (a transient store error would otherwise lock the
+    store onto the full-shuffle path with no trace)."""
     plan_path = os.path.join(out_dir, "plan.json")
     if fsio.exists(spark, plan_path):
         return json.loads(fsio.read_text(spark, plan_path))
     plan = compute_plan(df, n_partitions, total_rows=_input_row_count(files, fs))
     plan["assign_hash"] = assign_hash
+    if degraded_from:
+        plan["degraded_from"] = degraded_from
     fsio.write_text(spark, plan_path, json.dumps(plan))
     return plan
 
@@ -700,10 +719,13 @@ def encode(
         n_partitions = _default_n_partitions(spark, df, input_path, filesystem)
 
     t0 = time.time()
-    fs, files, degraded_reason = (
-        _parquet_source(input_path, filesystem) if scan != "jvm"
-        else (None, None, None)
-    )
+    # resolved even for scan="jvm": the file list feeds the footer row
+    # count (no Spark job) — only the PHYSICAL scan choice ignores it there
+    fs, files, degraded_reason = _parquet_source(input_path, filesystem)
+    if fs is None and filesystem is not None:
+        fs = filesystem  # plan= with input_path=None: the caller's
+        # credential-configured filesystem must still reach executor reads
+    scan_files = None if scan == "jvm" else files
     if degraded_reason and scan == "auto" and plan is None:
         # at 100 TB this fallback moves every token byte through a full
         # shuffle — the operator must see it (report + run_meta, below)
@@ -711,7 +733,7 @@ def encode(
             "zero-shuffle rowgroup scan unavailable, degrading to the JVM "
             f"scan + salted repartition: {degraded_reason}"
         )
-    if scan in ("salted", "rowgroup") and not files and plan is None:
+    if scan in ("salted", "rowgroup") and not scan_files and plan is None:
         # never silently degrade an explicit mode request — the chosen mode
         # is persisted in plan.json and would pin every future resume
         raise ValueError(
@@ -720,7 +742,7 @@ def encode(
             + (f" ({degraded_reason})" if degraded_reason else "")
         )
 
-    if plan is not None or (files and scan in ("auto", "rowgroup")):
+    if plan is not None or (scan_files and scan in ("auto", "rowgroup")):
         if not explicit_parts:
             # part == task in this mode: keep every core busy even when the
             # byte-based default would under-split a small input
@@ -728,14 +750,15 @@ def encode(
                 n_partitions, spark.sparkContext.defaultParallelism * 2
             )
         plan = _load_or_compute_rowgroup_plan(
-            spark, out_dir, files, n_partitions, explicit_parts, fs, plan
+            spark, out_dir, scan_files, n_partitions, explicit_parts, fs, plan
         )
     else:
         if df is None:
             df = spark.read.parquet(input_path)
         plan = _load_or_compute_plan(
             spark, df, out_dir, n_partitions, files, fs,
-            assign_hash="fnv1a" if files else "xxhash64",
+            assign_hash="fnv1a" if scan_files else "xxhash64",
+            degraded_from=degraded_reason if scan == "auto" else None,
         )
     mode = plan.get("mode", "salted")
     if mode == "rowgroup":
@@ -745,13 +768,26 @@ def encode(
                 "resume it with the same input_path/filesystem, not df="
             )
         # units carry their own paths; fs=None → per-task re-resolve
-    elif plan.get("assign_hash", "xxhash64") == "xxhash64":
-        files = None  # prior run salted with the JVM hash — stay consistent
-    elif not files:
-        raise ValueError(
-            "out_dir was encoded with the fused pyarrow scan (fnv1a part "
-            "assignment); resume it with the same input_path, not df="
-        )
+    else:
+        if plan.get("degraded_from") and scan_files:
+            # the store was planned while the fast scan was unavailable
+            # (e.g. a transient store error) and is pinned on the
+            # full-shuffle path — resumes must keep the assignment, but the
+            # operator should know recovery is possible
+            warnings.warn(
+                "out_dir is pinned on the salted/JVM plan recorded under "
+                f"degradation ({plan['degraded_from']}); the zero-shuffle "
+                "scan IS available now — re-encode into a fresh out_dir to "
+                "regain it"
+            )
+        if plan.get("assign_hash", "xxhash64") == "xxhash64":
+            scan_files = None  # prior run salted with the JVM hash — stay
+            # consistent
+        elif not scan_files:
+            raise ValueError(
+                "out_dir was encoded with the fused pyarrow scan (fnv1a part "
+                "assignment); resume it with the same input_path, not df="
+            )
     n_total = plan["n_total"]
 
     done = completed_part_ids(spark, out_dir) if resume else set()
@@ -768,9 +804,9 @@ def encode(
         )
     else:
         pending_set = set(pending) if (done or limit_parts is not None) else None
-        if files:
+        if scan_files:
             assignments = _row_group_assignments(
-                files, spark.sparkContext.defaultParallelism * 2, fs
+                scan_files, spark.sparkContext.defaultParallelism * 2, fs
             )
             work = scan_work_df(spark, assignments).mapInArrow(
                 make_arrow_scanner(plan, pending_set, fs), SCAN_DDL
@@ -809,7 +845,7 @@ def encode(
         "skipped": len(done),
         "chunk_bytes": chunk_bytes,
         "scan": mode if mode == "rowgroup" else (
-            "arrow-salted" if files else "jvm"),
+            "arrow-salted" if scan_files else "jvm"),
         "wall_sec": wall,
     }
     if degraded_reason and mode != "rowgroup":
