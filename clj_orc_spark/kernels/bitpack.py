@@ -53,6 +53,18 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
         values = np.ascontiguousarray(values)
     if width in _FAST_WIDTH_DTYPE:
         return values.astype(_FAST_WIDTH_DTYPE[width]).tobytes()
+    if width in (1, 2, 4):
+        # even divisors of 8: k values per output byte — three vectorized
+        # passes instead of the n×w bit-matrix shuffle (~10x)
+        k = 8 // width
+        v = values.astype(np.uint8)
+        if len(v) % k:
+            v = np.concatenate([v, np.zeros(k - len(v) % k, dtype=np.uint8)])
+        v = v.reshape(-1, k)
+        out = v[:, 0].copy()
+        for j in range(1, k):
+            out |= v[:, j] << np.uint8(j * width)
+        return out.tobytes()
     nb = (width + 7) // 8
     itemsize = values.dtype.itemsize
     le_bytes = values.view(np.uint8).reshape(-1, itemsize)[:, :nb]
@@ -72,9 +84,35 @@ def unpack_bits(buf: bytes, width: int, n: int, narrow: bool = False) -> np.ndar
         return np.frombuffer(
             buf, dtype=_FAST_WIDTH_DTYPE[width], count=n
         ).astype(out_dtype)
-    bits = np.unpackbits(
-        np.frombuffer(buf, dtype=np.uint8), count=n * width, bitorder="little"
-    ).reshape(n, width)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if width in (1, 2, 4):
+        # inverse of pack_bits' even-divisor path: k values per byte
+        k = 8 // width
+        mask = np.uint8((1 << width) - 1)
+        vals = np.empty((len(b), k), dtype=np.uint8)
+        for j in range(k):
+            vals[:, j] = (b >> np.uint8(j * width)) & mask
+        return vals.ravel()[:n].astype(out_dtype)
+    if width <= 25:
+        # 4-byte little-endian window always covers (bit offset in byte) +
+        # width bits — sequential gathers + one shift/mask, ~5x the
+        # bit-matrix shuffle on multi-million-value streams
+        bitpos = np.arange(n, dtype=np.int64) * width
+        byte = bitpos >> 3
+        need = int(byte[-1]) + 4 if n else 4
+        if len(b) < need:
+            b = np.concatenate([b, np.zeros(need - len(b), dtype=np.uint8)])
+        w32 = (
+            b[byte].astype(np.uint32)
+            | (b[byte + 1].astype(np.uint32) << np.uint32(8))
+            | (b[byte + 2].astype(np.uint32) << np.uint32(16))
+            | (b[byte + 3].astype(np.uint32) << np.uint32(24))
+        )
+        vals = (w32 >> (bitpos & 7).astype(np.uint32)) & np.uint32(
+            (1 << width) - 1
+        )
+        return vals if narrow and width <= 32 else vals.astype(np.uint64)
+    bits = np.unpackbits(b, count=n * width, bitorder="little").reshape(n, width)
     nb = (width + 7) // 8
     padded = np.zeros((n, nb * 8), dtype=np.uint8)
     padded[:, :width] = bits
@@ -227,7 +265,7 @@ class PatchedFor:
         res = narrow_residuals(arr, ref)
         one = res.dtype.type  # dtype-local scalars keep uint32 ops uint32
         full = bit_width(int(res.max()))
-        if width_hint is not None and width_hint < full:
+        if width_hint is not None and width_hint <= full:
             w = width_hint  # selector-sampled choice; cost deviation is tiny
         else:
             w, _, _ = cls._best_width(res, n)

@@ -84,7 +84,8 @@ CHUNK_COLS = ("doc_id", "source", "n_tok", "token_values", "offsets")
 
 
 def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int,
-                       cache: dict | None = None) -> dict[str, list]:
+                       cache: dict | None = None,
+                       policy: str = "size") -> dict[str, list]:
     """Encode one chunk's five physical columns → manifest/payload rows.
 
     ``cache`` is the per-partition selection cache (selector.encode_column):
@@ -132,7 +133,9 @@ def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int,
     for col_name, (col, kind, raw) in columns.items():
         if kind == "str":
             raw = len(col.data) + col.offsets.nbytes
-        payload, meta, selection = encode_column(col, kind, cache, col_name)
+        payload, meta, selection = encode_column(
+            col, kind, cache, col_name, policy
+        )
         rows["chunk_id"].append(chunk_id)
         rows["seq"].append(seq)
         rows["col"].append(col_name)
@@ -164,7 +167,8 @@ def _iter_part_slices(
             yield int(part_ids[lo]), batch.slice(lo, hi - lo)
 
 
-def make_encoder(chunk_bytes: int = DEFAULT_CHUNK_BYTES):
+def make_encoder(chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+                 policy: str = "size"):
     """Build the mapInArrow function: batches → encoded chunk rows.
 
     Accumulates batches until the raw token-byte budget is hit, then flushes a
@@ -188,7 +192,7 @@ def make_encoder(chunk_bytes: int = DEFAULT_CHUNK_BYTES):
             tbl = pa.Table.from_batches(buf)
             rows = _encode_chunk_rows(
                 tbl, part_id, seqs.get(part_id, 0),
-                caches.setdefault(part_id, {}),
+                caches.setdefault(part_id, {}), policy,
             )
             seqs[part_id] = seqs.get(part_id, 0) + 1
             bufs[part_id], buf_bytes[part_id] = [], 0
@@ -340,7 +344,7 @@ def rowgroup_work_df(spark, parts: list[list[list]], pending: list[int]):
     )
 
 
-def make_rowgroup_encoder(chunk_bytes: int, fs=None):
+def make_rowgroup_encoder(chunk_bytes: int, fs=None, policy: str = "size"):
     """ONE-stage scan+encode for ``mapInArrow`` over :func:`rowgroup_work_df`.
 
     Each task owns one ``part_id`` (a planned bin of row groups): it reads
@@ -411,7 +415,7 @@ def make_rowgroup_encoder(chunk_bytes: int, fs=None):
                 )
                 end = min(tbl.num_rows, max(row + 1, end))
                 rows = _encode_chunk_rows(
-                    tbl.slice(row, end - row), pid, seq, sel_cache
+                    tbl.slice(row, end - row), pid, seq, sel_cache, policy
                 )
                 seq += 1
                 row = end
@@ -662,6 +666,7 @@ def encode(
     scan: str = "auto",
     filesystem=None,
     plan: dict | None = None,
+    selection: str = "size",
 ) -> dict:
     """Run the encode job; resumable via the parts manifest.
 
@@ -701,6 +706,8 @@ def encode(
     from pyspark.sql import functions as F
 
     assert out_dir, "out_dir required"
+    if selection not in ("size", "speed"):
+        raise ValueError(f"unknown selection policy {selection!r}")
     if scan not in ("auto", "rowgroup", "salted", "jvm"):
         # a typo'd mode must never silently run (and pin) a different path
         raise ValueError(f"unknown scan mode {scan!r}")
@@ -800,7 +807,7 @@ def encode(
 
     if mode == "rowgroup":
         encoded = rowgroup_work_df(spark, plan["parts"], pending).mapInArrow(
-            make_rowgroup_encoder(chunk_bytes, fs), OUT_DDL
+            make_rowgroup_encoder(chunk_bytes, fs, selection), OUT_DDL
         )
     else:
         pending_set = set(pending) if (done or limit_parts is not None) else None
@@ -819,7 +826,7 @@ def encode(
                 work = work.where(F.col("part_id").isin(pending))
         encoded = (
             work.repartition(len(pending), "part_id")
-            .mapInArrow(make_encoder(chunk_bytes), OUT_DDL)
+            .mapInArrow(make_encoder(chunk_bytes, selection), OUT_DDL)
         )
     chunks_dir = os.path.join(out_dir, "chunks")
     _write_chunks(encoded, chunks_dir)
@@ -846,6 +853,7 @@ def encode(
         "chunk_bytes": chunk_bytes,
         "scan": mode if mode == "rowgroup" else (
             "arrow-salted" if scan_files else "jvm"),
+        "selection": selection,
         "wall_sec": wall,
     }
     if degraded_reason and mode != "rowgroup":

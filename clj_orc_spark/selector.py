@@ -95,12 +95,32 @@ def int_stats(arr: np.ndarray) -> dict:
         counts, n, for_width
     )
 
+    # frequency-ranked dictionary estimate: rank the sample's distinct
+    # values by count, histogram the CODE bit lengths weighted by
+    # occurrence, and price the code stream with the same patched-FOR cost
+    # model — on skewed data most codes are tiny, which is where ranked
+    # dict beats direct patched-FOR (the honesty guard bounds sample error)
+    dict_cost = None
+    if 0 < n_distinct < n // 2:
+        sv, sc = np.unique(s64, return_counts=True)
+        rank_counts = np.sort(sc)[::-1].astype(np.float64)
+        rank_bl = bit_lengths(np.arange(len(sv), dtype=np.uint64))
+        code_full = bit_width(max(n_distinct - 1, 0))
+        hist = np.zeros(code_full + 1, dtype=np.float64)
+        np.add.at(hist, np.minimum(rank_bl, code_full), rank_counts)
+        if scale != 1.0:
+            hist *= scale
+        hist_i = np.maximum(hist.astype(np.int64), (hist > 0))
+        _, code_cost = PatchedFor.best_width_from_hist(hist_i, n, code_full)
+        dict_cost = int(code_cost) + n_distinct * itemsize + 64
+
     return {
         "n": n, "itemsize": itemsize, "min": lo, "max": hi,
         "for_width": for_width, "delta_width": delta_width,
         "n_runs": n_runs, "run_len_width": run_len_width,
         "n_distinct": n_distinct, "distinct_exact": distinct_exact,
         "patched_cost": patched_cost, "patched_width": patched_width,
+        "dict_cost": dict_cost,
     }
 
 
@@ -140,7 +160,15 @@ INT_CANDIDATES = (PlainInt, ForBitpack, PatchedFor, Rle, Delta, DictInt)
 STR_CANDIDATES = (PlainStr, DictStr, Fsst)
 
 
-def select_int(arr: np.ndarray, stats: dict | None = None) -> tuple[str, dict]:
+#: with policy="speed", dict_int must beat the best direct codec by this
+#: factor to win — ranked-dict encode costs ~2x the direct patched-FOR CPU
+#: (counting + rank gather + two sub-streams), so a marginal size win is a
+#: bad trade for encode-bound deployments
+SPEED_DICT_FACTOR = 0.75
+
+
+def select_int(arr: np.ndarray, stats: dict | None = None,
+               policy: str = "size") -> tuple[str, dict]:
     if stats is None:
         stats = int_stats(arr)
     if stats["n"] == 0:
@@ -156,6 +184,12 @@ def select_int(arr: np.ndarray, stats: dict | None = None) -> tuple[str, dict]:
         else:
             ests[codec.name] = codec.estimate(stats)
     winner = min(ests, key=ests.get)
+    if policy == "speed" and winner == DictInt.name:
+        direct = min(v for k, v in ests.items() if k != DictInt.name)
+        if ests[DictInt.name] > SPEED_DICT_FACTOR * direct:
+            winner = min(
+                (k for k in ests if k != DictInt.name), key=ests.get
+            )
     return winner, ests
 
 
@@ -173,8 +207,14 @@ def select_str(col: StringCol) -> tuple[str, dict]:
 
 
 def encode_column(column, kind: str, cache: dict | None = None,
-                  key: str | None = None) -> tuple[bytes, dict, dict]:
+                  key: str | None = None,
+                  policy: str = "size") -> tuple[bytes, dict, dict]:
     """Select, encode, and guard: returns (payload, meta, selection_record).
+
+    ``policy``: "size" (default) picks the smallest estimated codec —
+    the selector's contract; "speed" additionally requires dict_int to beat
+    the best direct codec by >25% (ranked-dict costs ~2x the encode CPU),
+    for encode-bound deployments.
 
     ``cache``/``key`` enable per-partition selection reuse: the first chunk
     of a column runs the full stats+selection pass (and, for FSST, symbol
@@ -192,7 +232,7 @@ def encode_column(column, kind: str, cache: dict | None = None,
             width_hint = cached.get("width_hint")
         else:
             stats = int_stats(column)
-            winner, ests = select_int(column, stats=stats)
+            winner, ests = select_int(column, stats=stats, policy=policy)
             width_hint = stats["patched_width"]
             if cache is not None and key is not None:
                 cache[key] = {"winner": winner, "ests": ests,

@@ -21,12 +21,14 @@ def test_delta_wins_on_monotone_offsets():
     assert winner == "delta", ests
 
 
-def test_bitpack_family_wins_on_zipf_tokens():
+def test_ranked_dict_wins_on_zipf_tokens():
+    """Round 3: frequency-ranked dict (codes concentrate near 0, patched-FOR
+    packs them near-entropy) beats direct patched-FOR on zipfian token ids;
+    patched still beats flat-width among the direct family."""
     arr = (np.minimum(RNG.zipf(1.1, 100_000), 50_257) - 1).astype(np.int32)
     winner, ests = select_int(arr)
-    assert winner in ("patched_for", "for_bitpack"), ests
-    # skewed zipf → patched beats flat-width
-    assert ests["patched_for"] < ests["for_bitpack"]
+    assert winner == "dict_int", ests
+    assert ests["dict_int"] < ests["patched_for"] < ests["for_bitpack"]
 
 
 def test_dict_wins_on_low_card_strings():
@@ -71,3 +73,23 @@ def test_encode_column_roundtrip_and_guard():
     out = decode_any(payload, meta)
     assert out.data == col.data and np.array_equal(out.offsets, col.offsets)
     assert len(payload) <= len(col.data) + 8 * col.n + 64
+
+
+def test_speed_policy_prefers_direct_on_marginal_dict_win():
+    """policy='speed': dict_int only wins with a >25% size margin over the
+    best direct codec; zipf tokens (~35% margin) keep dict, near-uniform
+    low-card data (marginal margin) falls back to the direct family."""
+    # heavily-skewed low-card data: dict wins by a wide margin → kept
+    skewed = RNG.choice(
+        np.array([3, 70_001, 1_000_003], dtype=np.int32),
+        size=100_000, p=[0.9, 0.09, 0.01],
+    ).astype(np.int32)
+    w, ests = select_int(skewed, policy="speed")
+    assert w == "dict_int", ests
+
+    uniform = RNG.integers(0, 4096, 100_000).astype(np.int32)
+    w_size, e_size = select_int(uniform, policy="size")
+    w_speed, e_speed = select_int(uniform, policy="speed")
+    # uniform codes save nothing over direct packing: speed policy must not
+    # pick dict, whatever size picked
+    assert w_speed != "dict_int", e_speed
