@@ -15,6 +15,7 @@ from .base import StringCol, pack_sections, register, split_sections
 from .bitpack import (
     ForBitpack,
     PatchedFor,
+    bit_lengths,
     bit_width,
     encode_int_sub,
     packed_nbytes,
@@ -30,7 +31,17 @@ def _encode_codes(codes: np.ndarray,
     SAMPLED run count says it can win, because on run-free code streams
     building the run arrays costs a full pass for zero benefit."""
     best = PatchedFor.encode(codes, width_hint=width_hint)
-    probe = codes[: 1 << 16]
+    # 8 evenly-spaced probe segments: run structure that only starts after
+    # a high-churn prefix must still qualify RLE (a head-only probe would
+    # permanently disqualify it, and a head-weighted one misprices
+    # concentrated churn); the ≤7 false run-starts at the seams are noise
+    # against the len//4 gate
+    k = 1 << 13
+    if len(codes) <= 8 * k:
+        probe = codes
+    else:
+        starts = np.linspace(0, len(codes) - k, 8).astype(np.int64)
+        probe = np.concatenate([codes[i : i + k] for i in starts])
     if len(run_starts(probe)) <= len(probe) // 4:
         p, m = Rle.encode(codes)
         if len(p) < len(best[0]):
@@ -44,7 +55,14 @@ def _decode_codes(payload: bytes, meta: dict) -> np.ndarray:
     return _decode_int_sub(payload, meta)
 
 
-def ranked_value_counts(a64: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+#: largest value RANGE whose bincount indices fit int32 (module constant so
+#: tests can force the int64 branch without 2^31-element arrays)
+_NARROW_IDX_MAX = 1 << 31
+
+
+def ranked_value_counts(
+    a64: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Distinct values ordered by DESCENDING frequency (ties broken by
     value — deterministic) plus each input's rank code.
 
@@ -63,17 +81,22 @@ def ranked_value_counts(a64: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     lo = int(a64.min())
     rng = int(a64.max()) - lo + 1
     if 0 < rng <= max(4 * n, 1 << 22):
+        # index arithmetic stays int32 only when the RANGE fits int32 —
+        # wider ranges (possible with huge chunk_bytes) keep int64
+        # throughout, or the lookup scatter would wrap to negative slots
+        narrow_idx = rng <= _NARROW_IDX_MAX
+        idx_dtype = np.int32 if narrow_idx else np.int64
         shifted = (
-            (a64 - lo).astype(np.int32) if rng <= 1 << 31 else a64 - lo
+            (a64 - lo).astype(np.int32) if narrow_idx else a64 - lo
         )
         counts_full = np.bincount(shifted, minlength=rng)
         nz = np.flatnonzero(counts_full)
         vals, counts = nz + lo, counts_full[nz]
         order = np.argsort(-counts, kind="stable")
         ranked = vals[order]
-        lookup = np.empty(rng, dtype=np.int32)
-        lookup[(ranked - lo).astype(np.int32)] = np.arange(
-            len(ranked), dtype=np.int32
+        lookup = np.empty(rng, dtype=idx_dtype)
+        lookup[(ranked - lo).astype(idx_dtype)] = np.arange(
+            len(ranked), dtype=idx_dtype
         )
         return ranked, lookup[shifted], counts[order]
     vals, counts = np.unique(a64, return_counts=True)
@@ -103,8 +126,6 @@ class DictInt:
         # the code distribution is already known exactly from the counts —
         # derive the patched-FOR width from a card-sized histogram instead
         # of a full-stream bit-length pass
-        from .bitpack import bit_lengths
-
         code_full = bit_width(len(ranked) - 1)
         hist = np.zeros(code_full + 1, dtype=np.int64)
         np.add.at(

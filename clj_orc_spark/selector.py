@@ -80,10 +80,12 @@ def int_stats(arr: np.ndarray) -> dict:
     n_runs = max(1, int(s_runs * scale))
     run_len_width = bit_width(max_run)
 
-    n_distinct = len(np.unique(s64))
+    sv_counts = np.unique(s64, return_counts=True)[1]  # one sort, reused
+    sample_card = len(sv_counts)
     distinct_exact = scale == 1.0
-    if not distinct_exact and n_distinct > sn // 2:
-        n_distinct = int(n_distinct * scale)  # high-card: extrapolate
+    n_distinct = sample_card
+    if not distinct_exact and sample_card > sn // 2:
+        n_distinct = int(sample_card * scale)  # high-card: extrapolate
 
     from .kernels.bitpack import bit_lengths
 
@@ -102,16 +104,23 @@ def int_stats(arr: np.ndarray) -> dict:
     # dict beats direct patched-FOR (the honesty guard bounds sample error)
     dict_cost = None
     if 0 < n_distinct < n // 2:
-        sv, sc = np.unique(s64, return_counts=True)
-        rank_counts = np.sort(sc)[::-1].astype(np.float64)
-        rank_bl = bit_lengths(np.arange(len(sv), dtype=np.uint64))
+        rank_counts = np.sort(sv_counts)[::-1].astype(np.float64)
+        rank_bl = bit_lengths(np.arange(sample_card, dtype=np.uint64))
         code_full = bit_width(max(n_distinct - 1, 0))
         hist = np.zeros(code_full + 1, dtype=np.float64)
         np.add.at(hist, np.minimum(rank_bl, code_full), rank_counts)
         if scale != 1.0:
             hist *= scale
         hist_i = np.maximum(hist.astype(np.int64), (hist > 0))
-        _, code_cost = PatchedFor.best_width_from_hist(hist_i, n, code_full)
+        # extrapolated tail ranks the sample never saw get one occurrence
+        # each at FULL code width — without this, a sampled high-card
+        # column prices its most expensive codes at zero and dict wins on
+        # a phantom-cheap tail (the honesty guard only bounds vs plain)
+        tail = max(0, n_distinct - sample_card)
+        hist_i[code_full] += tail
+        _, code_cost = PatchedFor.best_width_from_hist(
+            hist_i, n + tail, code_full
+        )
         dict_cost = int(code_cost) + n_distinct * itemsize + 64
 
     return {

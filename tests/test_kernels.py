@@ -175,3 +175,40 @@ def test_narrow_decode_path_roundtrips_extremes():
             out = codec.decode(p, m)
             assert out.dtype == arr.dtype
             assert np.array_equal(out, arr), (codec.name, str(arr.dtype))
+
+
+def test_ranked_dict_wide_range_index_branch(monkeypatch):
+    """The int64 index branch of ranked_value_counts (ranges beyond int32)
+    must produce correct rank codes — forced via the testable threshold."""
+    import numpy as np
+
+    from clj_orc_spark.kernels import dict_ as dict_mod
+
+    rng = np.random.default_rng(9)
+    arr = rng.choice(np.array([5, 40, 400, 4000]), size=5000).astype(np.int64)
+    ranked_n, codes_n, counts_n = dict_mod.ranked_value_counts(arr)
+    monkeypatch.setattr(dict_mod, "_NARROW_IDX_MAX", 8)  # range 3996 > 8
+    ranked_w, codes_w, counts_w = dict_mod.ranked_value_counts(arr)
+    assert np.array_equal(ranked_n, ranked_w)
+    assert np.array_equal(codes_n, codes_w)
+    assert np.array_equal(counts_n, counts_w)
+    p, m = dict_mod.DictInt.encode(arr)
+    assert np.array_equal(dict_mod.DictInt.decode(p, m), arr)
+
+
+def test_encode_codes_rle_probe_sees_mid_stream_runs():
+    """Run structure that begins only after a high-churn prefix must still
+    qualify RLE (head/middle/tail probe, not head-only)."""
+    import numpy as np
+
+    from clj_orc_spark.kernels.dict_ import _encode_codes
+
+    rng = np.random.default_rng(4)
+    churn = rng.integers(0, 1000, 1 << 16).astype(np.int32)
+    runs = np.repeat(np.arange(50, dtype=np.int32), 40_000)
+    codes = np.concatenate([churn, runs])
+    p, m = _encode_codes(codes)
+    assert m["codec"] == "rle", m["codec"]
+    from clj_orc_spark.kernels.dict_ import _decode_codes
+
+    assert np.array_equal(_decode_codes(p, m).astype(np.int64), codes)
