@@ -183,3 +183,27 @@ def test_plan_kwarg_rejects_df_and_jvm_scan(spark, tmp_dir, token_table_dir):
     with pytest.raises(ValueError, match="plan="):
         encode(spark, out_dir=os.path.join(tmp_dir, "b"), plan=plan,
                scan="jvm")
+
+
+def test_manifest_plan_with_explicit_filesystem(spark, tmp_dir):
+    """encode(plan=..., filesystem=...) must ship the caller's filesystem to
+    executor reads — the Iceberg flow with a credential-configured store
+    (units carry subtree-relative paths unreadable without it)."""
+    import pyarrow.fs as pfs
+
+    root = os.path.join(tmp_dir, "store")
+    src_dir = os.path.join(root, "data")
+    os.makedirs(src_dir)
+    files = _write_multi_rg(src_dir, n_files=2, rows_per_rg=400, rgs=2)
+    fs = pfs.SubTreeFileSystem(root, pfs.LocalFileSystem())
+    entries = [
+        {"file_path": os.path.relpath(f, root),
+         "file_size_in_bytes": os.path.getsize(f), "split_offsets": None}
+        for f in files
+    ]
+    out = os.path.join(tmp_dir, "enc")
+    rep = encode(spark, out_dir=out, plan=plan_from_data_files(entries, 2),
+                 filesystem=fs)
+    assert rep["scan"] == "rowgroup"
+    v = verify_roundtrip(spark.read.parquet(src_dir), decode(spark, out))
+    assert v["bit_identical"] and v["total"] == 2 * 2 * 400
