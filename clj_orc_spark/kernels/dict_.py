@@ -154,7 +154,9 @@ class DictInt:
         else:
             uniques = _decode_int_sub(up, um)
         codes = _decode_codes(cp, meta["codes"])
-        return uniques[codes].astype(meta["dtype"], copy=False)
+        # cast the card-sized dict BEFORE the n-sized gather: the gather
+        # then moves target-width values (half the traffic for int32)
+        return uniques.astype(meta["dtype"], copy=False)[codes]
 
     @staticmethod
     def estimate(stats: dict) -> int:
