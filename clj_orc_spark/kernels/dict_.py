@@ -182,10 +182,22 @@ class DictStr:
         codes, uniques = pd.factorize(
             pd.Series(col.to_list()), sort=True
         )
+        # frequency-rank the string dictionary too (ties broken by the
+        # lexicographic factorize order — deterministic): skewed string
+        # columns get near-zero codes for their dominant values, same
+        # patched-FOR win as the int path
+        counts = np.bincount(codes, minlength=len(uniques))
+        order = np.argsort(-counts, kind="stable")
+        rank = np.empty(len(uniques), dtype=np.int64)
+        rank[order] = np.arange(len(uniques))
+        codes = rank[codes]
+        uniques = uniques[order]
         from .plain import PlainStr
 
         up, um = PlainStr.encode(StringCol.from_list(list(uniques)))
-        cp, cm = _encode_codes(codes.astype(np.int64))
+        cp, cm = _encode_codes(codes.astype(np.int32, copy=False)
+                               if len(uniques) <= 1 << 31
+                               else codes.astype(np.int64))
         payload, sections = pack_sections(up, cp)
         return payload, {"codec": cls.name, "n": n, "sections": sections,
                          "uniques": um, "codes": cm}

@@ -78,6 +78,7 @@ def stream_encode(
     parts_per_batch: int | None = None,
     chunk_bytes: int | None = None,
     available_now: bool = True,
+    selection: str = "size",
 ):
     """Structured-Streaming encode: new token-table files → encoded chunks.
 
@@ -139,7 +140,7 @@ def stream_encode(
             ).cast("int"),
         )
         encoded = work.repartition(k, "part_id").mapInArrow(
-            make_encoder(cb), OUT_DDL
+            make_encoder(cb, selection), OUT_DDL
         )
         _write_chunks(encoded, chunks_dir)
         spark_session = batch_df.sparkSession

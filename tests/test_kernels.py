@@ -212,3 +212,22 @@ def test_encode_codes_rle_probe_sees_mid_stream_runs():
     from clj_orc_spark.kernels.dict_ import _decode_codes
 
     assert np.array_equal(_decode_codes(p, m).astype(np.int64), codes)
+
+
+def test_dict_str_frequency_ranked():
+    """String dicts are frequency-ordered: the dominant value takes code 0
+    regardless of lexicographic position, and the round-trip is exact."""
+    import numpy as np
+
+    from clj_orc_spark.kernels.base import StringCol, split_sections
+    from clj_orc_spark.kernels.dict_ import DictStr
+    from clj_orc_spark.kernels.plain import PlainStr
+
+    items = [b"zzz-dominant"] * 900 + [b"aaa", b"bbb", b"ccc"] * 30
+    col = StringCol.from_list(items)
+    p, m = DictStr.encode(col)
+    out = DictStr.decode(p, m)
+    assert out.data == col.data and np.array_equal(out.offsets, col.offsets)
+    up, _ = split_sections(p, m["sections"])
+    uniq = PlainStr.decode(up, m["uniques"])
+    assert uniq.row(0) == b"zzz-dominant"  # rank 0 = most frequent
