@@ -21,10 +21,46 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
 
 
+_GC_DONE = False
+
+
+def _gc_stale_tmp(spark: SparkSession) -> None:
+    """Remove encoded stores left by PRIOR driver runs.
+
+    Out dirs are keyed by applicationId so concurrent runs never rmtree each
+    other's live stores — but that means every run leaves three dirs under
+    /tmp forever (round-3 advice).  On startup, sweep dirs carrying another
+    application's id that have been untouched for 90+ minutes (age guards a
+    concurrent run still mid-flight)."""
+    global _GC_DONE
+    if _GC_DONE:
+        return
+    _GC_DONE = True
+    import glob
+    import shutil
+    import time as _t
+
+    app_id = spark.sparkContext.applicationId
+    cutoff = _t.time() - 90 * 60
+    for pattern in (
+        "/tmp/clj-orc-spark-entry-out-*",
+        "/tmp/clj-orc-spark-manifest-out-*",
+        "/tmp/clj-orc-roundtrip-*",
+    ):
+        for d in glob.glob(pattern):
+            try:
+                if d.endswith(app_id) or os.path.getmtime(d) > cutoff:
+                    continue
+                shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                pass
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Make clj_orc_spark importable on executors (driver may own the session)."""
     from clj_orc_spark.session import package_zip
 
+    _gc_stale_tmp(spark)
     try:
         spark.sparkContext.addPyFile(package_zip())
     except Exception:

@@ -79,7 +79,9 @@ def train_ivf(df: DataFrame, n_centroids: int = 16, vec_col: str = "embedding",
     the fraction targets ~1.25×``sample_rows``, the whole sample is
     collected (driver-bounded), and any excess is subsampled in numpy with
     the same seed.  ``n_rows`` lets callers who already know the table size
-    skip the count job."""
+    skip the count job — at 100 TB pass it (e.g. from parquet footers or the
+    table manifest); the ``count()`` fallback is one extra column-pruned
+    scan of the table."""
     n = df.count() if n_rows is None else int(n_rows)
     if n == 0:
         raise ValueError("cannot train IVF codebook on an empty DataFrame")
@@ -87,8 +89,23 @@ def train_ivf(df: DataFrame, n_centroids: int = 16, vec_col: str = "embedding",
     vecs = df.select(vec_col).sample(fraction=frac, seed=seed).toPandas()[
         vec_col
     ].to_list()
-    if not vecs:  # tiny-fraction edge: sampling returned nothing
-        vecs = df.select(vec_col).limit(sample_rows).toPandas()[vec_col].to_list()
+    if not vecs:  # tiny-fraction edge: sampling returned nothing — re-sample
+        # wider rather than silently reverting to the first-partition-biased
+        # limit() path this sampler exists to replace
+        import warnings
+
+        warnings.warn(
+            f"IVF sample at fraction {frac:.2g} returned 0 rows; "
+            "re-sampling at 10x the fraction"
+        )
+        vecs = df.select(vec_col).sample(
+            fraction=min(1.0, 10 * frac), seed=seed
+        ).toPandas()[vec_col].to_list()
+        if not vecs:
+            raise ValueError(
+                "IVF codebook sample is empty even at 10x fraction — "
+                f"n_rows={n} appears inconsistent with the input"
+            )
     sample = np.array(vecs, dtype=np.float64)
     if len(sample) > sample_rows:
         keep = np.random.default_rng(seed).choice(

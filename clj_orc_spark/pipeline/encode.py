@@ -629,7 +629,11 @@ def _commit_manifest(spark, out_dir: str, chunks_dir: str,
         .withColumn("completed_at", F.lit(time.time()))
     )
     # a pending part that produced ZERO chunks (e.g. an empty row group)
-    # still needs its completion marker, or resume re-runs it forever
+    # still needs its completion marker, or resume re-runs it forever.
+    # SCALE GUARD: this is the encode pipeline's only driver-side collect of
+    # job output, and it must stay a single narrow column bounded by the
+    # PARTITION count (thousands), never chunk rows (millions at 100 TB) —
+    # pinned by tests/test_round4_fixes.py::test_commit_manifest_collects_only_part_ids
     marked = {r["part_id"] for r in parts.select("part_id").collect()}
     missing = [p for p in pending if p not in marked]
     if missing:
@@ -720,6 +724,7 @@ def encode(
         raise ValueError("plan= is a rowgroup-mode hook; incompatible with "
                          f"df= and scan={scan!r}")
     explicit_parts = n_partitions is not None
+    user_plan = plan  # caller-supplied plan (vs the persisted one loaded below)
     if df is None and scan in ("jvm", "salted"):
         df = spark.read.parquet(input_path)
     if n_partitions is None:
@@ -776,6 +781,16 @@ def encode(
             )
         # units carry their own paths; fs=None → per-task re-resolve
     else:
+        if user_plan is not None:
+            # a caller-supplied plan= against a store persisted in salted/JVM
+            # mode would fall through to the DataFrame path and crash in
+            # spark.read.parquet(None) — name the mismatch instead
+            raise ValueError(
+                f"out_dir holds a persisted {mode!r}-mode plan; plan= is a "
+                "rowgroup-mode hook.  Resume this store with the original "
+                "input_path/df (same scan mode), or encode the planned input "
+                "into a fresh out_dir"
+            )
         if plan.get("degraded_from") and scan_files:
             # the store was planned while the fast scan was unavailable
             # (e.g. a transient store error) and is pinned on the

@@ -84,8 +84,20 @@ def int_stats(arr: np.ndarray) -> dict:
     sample_card = len(sv_counts)
     distinct_exact = scale == 1.0
     n_distinct = sample_card
-    if not distinct_exact and sample_card > sn // 2:
-        n_distinct = int(sample_card * scale)  # high-card: extrapolate
+    if not distinct_exact:
+        if sample_card > sn // 2:
+            n_distinct = int(sample_card * scale)  # high-card: extrapolate
+        else:
+            # chao1 unseen-mass estimate: singletons/doubletons in the sample
+            # bound how many distinct values the sample never saw.  Without
+            # this, a moderate-cardinality column whose tail extends beyond
+            # the sample priced tail=0 and dict_int won on phantom-cheap
+            # codes (round-3 advice) — bounded only by the plain guard, not
+            # by the best direct codec.
+            f1 = int((sv_counts == 1).sum())
+            f2 = int((sv_counts == 2).sum())
+            chao1 = sample_card + (f1 * f1) / (2.0 * (f2 + 1))
+            n_distinct = int(min(chao1, sample_card * scale, n))
 
     from .kernels.bitpack import bit_lengths
 

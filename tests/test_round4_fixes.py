@@ -1,0 +1,93 @@
+"""Round-4 review fixes: plan-resume mode mismatch, IVF sampling fallback,
+chao1 cardinality extrapolation, and the driver-collect scale guard."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import DataFrame
+
+from clj_orc_spark.pipeline import decode, encode
+from clj_orc_spark.selector import INT_SAMPLE, int_stats
+
+
+def _tiny_df(spark, n=40):
+    rows = [(f"d{i:04d}", [i % 7, i % 11, 3], 3, f"src{i % 3}") for i in range(n)]
+    return spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+
+
+def test_plan_resume_mode_mismatch_raises(spark, tmp_path):
+    """encode(plan=...) against a store persisted in salted/JVM mode must
+    raise a clear error naming the persisted mode, not crash in
+    spark.read.parquet(None) (round-3 advice)."""
+    out = str(tmp_path / "store")
+    encode(spark, df=_tiny_df(spark), out_dir=out, n_partitions=2)
+    fake_plan = {"mode": "rowgroup", "n_total": 1, "parts": [[]]}
+    with pytest.raises(ValueError, match="persisted .*-mode plan"):
+        encode(spark, out_dir=out, plan=fake_plan)
+
+
+def test_commit_manifest_collects_only_part_ids(spark, tmp_path, monkeypatch):
+    """SCALE GUARD: every driver-side collect inside encode() must be the
+    single narrow ``part_id`` column (bounded by partition count) — a future
+    edit widening it to chunk rows would collect millions of rows at 100 TB."""
+    src = str(tmp_path / "src.parquet")
+    _tiny_df(spark).write.parquet(src)
+
+    try:  # pyspark>=4 concrete class; the facade's collect is never bound
+        from pyspark.sql.classic.dataframe import DataFrame as ConcreteDF
+    except ImportError:  # pragma: no cover - older pyspark
+        ConcreteDF = DataFrame
+
+    collected: list[tuple[str, ...]] = []
+    orig = ConcreteDF.collect
+
+    def spying_collect(self):
+        collected.append(tuple(self.columns))
+        return orig(self)
+
+    monkeypatch.setattr(ConcreteDF, "collect", spying_collect)
+    out = str(tmp_path / "store")
+    encode(spark, src, out, n_partitions=2)
+    assert collected, "expected at least one part_id collect"
+    for cols in collected:
+        assert cols == ("part_id",), f"non-part_id driver collect: {cols}"
+    # the store is still fully decodable after the spy run
+    monkeypatch.setattr(ConcreteDF, "collect", orig)
+    assert decode(spark, out).count() == 40
+
+
+def test_train_ivf_warns_then_raises_instead_of_limit_fallback(spark):
+    """An empty sample must warn + re-sample wider, and an impossible
+    n_rows must raise — never silently fall back to the first-partition
+    limit() path (round-3 advice)."""
+    from clj_orc_spark.operators.similarity import train_ivf
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)], "vec_id int, embedding array<double>"
+    )
+    with pytest.warns(UserWarning, match="re-sampling"):
+        with pytest.raises(ValueError, match="empty even at 10x"):
+            train_ivf(df, n_centroids=2, sample_rows=1, n_rows=10**9)
+
+
+def test_chao1_extrapolates_unseen_cardinality():
+    """A moderate-cardinality column whose tail extends beyond the sample
+    must not price dict codes on tail=0: chao1 recovers ~the true distinct
+    count from sample singletons/doubletons (round-3 advice)."""
+    rng = np.random.default_rng(0)
+    true_card = 150_000
+    arr = rng.integers(0, true_card, size=4 * INT_SAMPLE + 1).astype(np.int64)
+    st = int_stats(arr)
+    assert not st["distinct_exact"]
+    # sampled card alone is ~124k here; chao1 must close most of the gap
+    assert st["n_distinct"] >= 140_000
+    assert st["n_distinct"] <= int(1.15 * true_card)
+
+
+def test_chao1_exact_small_arrays_unchanged():
+    arr = np.array([1, 1, 2, 3, 3, 3, 9], dtype=np.int64)
+    st = int_stats(arr)
+    assert st["distinct_exact"] and st["n_distinct"] == 4
