@@ -11,9 +11,12 @@ from .dedup import (  # noqa: F401
 )
 from .similarity import (  # noqa: F401
     brute_force_topk,
+    build_ivf_index,
     cosine_near_dups,
     cosine_near_dups_lsh,
+    ivf_probe_scan,
     ivf_topk,
+    load_ivf_index,
     lsh_bucket_topk,
     train_ivf,
 )

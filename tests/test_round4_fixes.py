@@ -91,3 +91,17 @@ def test_chao1_exact_small_arrays_unchanged():
     arr = np.array([1, 1, 2, 3, 3, 3, 9], dtype=np.int64)
     st = int_stats(arr)
     assert st["distinct_exact"] and st["n_distinct"] == 4
+
+
+def test_exact_near_dup_guard_raises_at_scale(spark):
+    """The O(n^2) exact join is a test-only oracle baseline: beyond the cap
+    it must refuse loudly instead of launching a broadcast cartesian."""
+    from pyspark.sql import functions as F
+
+    from clj_orc_spark.operators import cosine_near_dups
+
+    big = spark.range(10_001).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0)).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="capped at"):
+        cosine_near_dups(big, threshold=0.9)
