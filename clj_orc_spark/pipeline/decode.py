@@ -136,7 +136,7 @@ def _manifest_files(spark, out_dir: str, part_ids: list[int] | None) -> list[str
 
 
 def _stat_pruned_work(spark, out_dir: str, part_ids, doc_id_range,
-                      n_tok_range, source_in=None):
+                      n_tok_range, source_in=None, token_range=None):
     """Zone-map pruning: (file, [chunk_ids]) for chunks whose recorded
     per-column min/max intersects the predicate — the ORC column-statistics
     analog, answered entirely from the payload-pruned manifest.  Returns
@@ -176,6 +176,14 @@ def _stat_pruned_work(spark, out_dir: str, part_ids, doc_id_range,
     if n_tok_range is not None:
         s = survivors("n_tok", n_tok_range[0], n_tok_range[1], "int")
         kept = s if kept is None else kept.intersect(s)
+    if token_range is not None:
+        # containment predicate over the flattened token VALUES: a chunk can
+        # hold a row containing some token in [lo, hi] only if its recorded
+        # token_values [min, max] intersects the range — the zone maps
+        # encode has always written (encode.py token_values stats) finally
+        # answering a vocabulary-range scan without reading everything
+        s = survivors("token_values", token_range[0], token_range[1], "long")
+        kept = s if kept is None else kept.intersect(s)
     if source_in is not None:
         # membership against a [min,max] zone map: a chunk can only hold a
         # wanted source value if some v ∈ source_in lies within its range
@@ -206,7 +214,8 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
            mode: str = "files", columns: list[str] | None = None,
            doc_id_range: tuple | None = None,
            n_tok_range: tuple | None = None,
-           source_in: list[str] | None = None):
+           source_in: list[str] | None = None,
+           token_range: tuple | None = None):
     """Distributed decode: chunk rows → token-table DataFrame.
 
     ``mode="files"`` (default, the scale path): one task per encoded chunk
@@ -234,6 +243,13 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
     ``source_in`` is a membership predicate on ``source`` (a list of wanted
     values), pruned the same way: a chunk whose recorded [min, max] source
     range contains no wanted value is never read.
+
+    ``token_range`` (inclusive ``(lo, hi)``, either end None) is a
+    CONTAINMENT predicate over token VALUES: keep rows whose ``tokens``
+    array holds at least one value in the range (a vocabulary-range scan —
+    "find sequences containing token ids ≥ 100k").  Pruned through the
+    per-chunk token_values min/max zone maps, then filtered exactly with
+    ``exists(tokens, ...)``.
     """
     import json as _json
     import os
@@ -251,6 +267,11 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
         b is not None and not isinstance(b, int) for b in n_tok_range
     ):
         raise TypeError("n_tok_range bounds must be ints (or None)")
+    if token_range is not None:
+        if any(b is not None and not isinstance(b, int) for b in token_range):
+            raise TypeError("token_range bounds must be ints (or None)")
+        if all(b is None for b in token_range):
+            raise ValueError("token_range needs at least one bound")
     if source_in is not None:
         if not source_in or any(not isinstance(v, str) for v in source_in):
             raise TypeError("source_in must be a non-empty list of strings")
@@ -268,6 +289,8 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
             raise ValueError("n_tok_range requires 'n_tok' in columns")
         if source_in is not None and "source" not in columns:
             raise ValueError("source_in requires 'source' in columns")
+        if token_range is not None and "tokens" not in columns:
+            raise ValueError("token_range requires 'tokens' in columns")
         columns = [c for c in _LOGICAL_ORDER if c in set(columns)]
     ddl = _select_ddl(columns) if columns is not None else TOKEN_DDL
 
@@ -281,6 +304,17 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
                     df = df.where(F.col(col) <= F.lit(hi))
         if source_in is not None:
             df = df.where(F.col("source").isin(list(source_in)))
+        if token_range is not None:
+            lo, hi = token_range
+            df = df.where(F.exists(
+                "tokens",
+                lambda t: (
+                    (t >= F.lit(lo)) & (t <= F.lit(hi))
+                    if lo is not None and hi is not None
+                    else (t >= F.lit(lo)) if lo is not None
+                    else (t <= F.lit(hi))
+                ),
+            ))
         return df
 
     chunks_dir = os.path.join(out_dir, "chunks")
@@ -302,9 +336,11 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
         )
 
     work_rows = None
-    if doc_id_range is not None or n_tok_range is not None or source_in is not None:
+    if (doc_id_range is not None or n_tok_range is not None
+            or source_in is not None or token_range is not None):
         pruned = _stat_pruned_work(
-            spark, out_dir, part_ids, doc_id_range, n_tok_range, source_in
+            spark, out_dir, part_ids, doc_id_range, n_tok_range, source_in,
+            token_range,
         )
         if pruned is not None:
             work_rows = [(f, _json.dumps(cids)) for f, cids in pruned]

@@ -105,3 +105,62 @@ def test_exact_near_dup_guard_raises_at_scale(spark):
     )
     with pytest.raises(ValueError, match="capped at"):
         cosine_near_dups(big, threshold=0.9)
+
+
+def test_token_range_zone_map_prunes_and_filters(spark, tmp_path):
+    """Token-VALUE zone maps (recorded since round 2, queryable since round
+    4): a vocabulary-range decode must skip chunks whose token_values
+    [min,max] cannot intersect the range, and exactly filter the survivors."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def tbl(prefix, base):
+        return pa.table({
+            "doc_id": [f"{prefix}{i:03d}" for i in range(50)],
+            "tokens": pa.array(
+                [[base + i] * 3 for i in range(50)],
+                type=pa.list_(pa.int32()),
+            ),
+            "n_tok": pa.array([3] * 50, type=pa.int32()),
+            "source": [f"s-{prefix}"] * 50,
+        })
+
+    pq.write_table(tbl("low", 1), str(src / "low.parquet"))
+    pq.write_table(tbl("high", 1000), str(src / "high.parquet"))
+
+    out = str(tmp_path / "store")
+    encode(spark, str(src), out, n_partitions=2)
+
+    from clj_orc_spark.pipeline.decode import _stat_pruned_work
+
+    pruned = _stat_pruned_work(spark, out, None, None, None, None, (900, None))
+    assert pruned is not None
+    kept = {cid for _, cids in pruned for cid in cids}
+    total = (
+        spark.read.parquet(out + "/manifest/chunks")
+        .select("chunk_id").distinct().count()
+    )
+    assert 0 < len(kept) < total, (len(kept), total)  # real chunk skipping
+
+    got = sorted(
+        r.doc_id
+        for r in decode(spark, out, token_range=(900, None)).collect()
+    )
+    assert got == [f"high{i:03d}" for i in range(50)]
+
+    # two-sided range and row-exactness: only the row CONTAINING token 1001
+    two = sorted(
+        r.doc_id
+        for r in decode(spark, out, token_range=(1001, 1001)).collect()
+    )
+    assert two == ["high001"]
+
+    with pytest.raises(ValueError, match="at least one bound"):
+        decode(spark, out, token_range=(None, None))
+    with pytest.raises(TypeError, match="ints"):
+        decode(spark, out, token_range=("1", None))
+    with pytest.raises(ValueError, match="requires 'tokens'"):
+        decode(spark, out, columns=["doc_id"], token_range=(1, None))
