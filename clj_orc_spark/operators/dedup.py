@@ -76,17 +76,101 @@ def minhash_signature(h: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray
     return sig.astype(np.int64)
 
 
+def _shingle_hashes_batch(
+    texts: list, width: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shingle hashes for a WHOLE Arrow batch: one rolling-hash pass over one
+    concatenated byte buffer, windows gathered per document by index
+    arithmetic — no per-document numpy dispatch (the batch-level analog of
+    :func:`simhash_batch`, replacing the round-3 per-doc loop).
+
+    Returns ``(h_all, seg_starts)``: concatenated per-doc shingle hashes and
+    the ``n_docs+1`` segment offsets.  Bit-identical to
+    :func:`_shingle_hashes` per document, minus the ``np.unique`` dedup —
+    a MinHash min over a multiset equals the min over its set, so
+    signatures are unchanged (pinned by test_round4_fixes)."""
+    encs = [(t or "").encode("utf-8", "ignore") for t in texts]
+    lens = np.array([len(e) for e in encs], dtype=np.int64)
+    nd = len(encs)
+    doc_starts = np.zeros(nd + 1, dtype=np.int64)
+    np.cumsum(lens, out=doc_starts[1:])
+    buf = np.frombuffer(b"".join(encs), dtype=np.uint8)
+
+    win_counts = np.maximum(lens - width + 1, 0)
+    seg_lens = np.where(win_counts > 0, win_counts, 1)
+    seg_starts = np.zeros(nd + 1, dtype=np.int64)
+    np.cumsum(seg_lens, out=seg_starts[1:])
+    out = np.empty(int(seg_starts[-1]), dtype=np.uint64)
+
+    npos = len(buf) - width + 1
+    if npos > 0 and win_counts.any():
+        h = np.zeros(npos, dtype=np.uint64)
+        d = buf.astype(np.uint64)
+        for j in range(width):  # width (~5) passes over the whole buffer
+            h = h * np.uint64(131) + d[j : j + npos]
+        has = np.flatnonzero(win_counts > 0)
+        cnts = win_counts[has]
+        csum = np.cumsum(cnts)
+        off = np.arange(int(csum[-1]), dtype=np.int64) - np.repeat(
+            csum - cnts, cnts
+        )
+        # windows crossing document boundaries are never gathered: each
+        # doc's valid window starts are doc_start .. doc_start+len-width
+        out[np.repeat(seg_starts[has], cnts) + off] = h[
+            np.repeat(doc_starts[has], cnts) + off
+        ]
+    short = np.flatnonzero(win_counts == 0)
+    if len(short):
+        # a text shorter than the window is its OWN single shingle (+1 —
+        # see _shingle_hashes): ≤ width-1 vectorized passes over short docs
+        sh = np.zeros(len(short), dtype=np.uint64)
+        slens = lens[short]
+        with np.errstate(over="ignore"):
+            for j in range(int(slens.max()) if len(slens) else 0):
+                act = np.flatnonzero(slens > j)
+                sh[act] = sh[act] * np.uint64(131) + buf[
+                    doc_starts[short[act]] + j
+                ].astype(np.uint64)
+        out[seg_starts[short]] = sh + np.uint64(1)
+    return out, seg_starts
+
+
+def minhash_signatures_batch(
+    h_all: np.ndarray, seg_starts: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(n_docs × num_perm) MinHash matrix via blockwise ``reduceat`` over the
+    concatenated shingle array — flat memory (one MINHASH_BLOCK temp per
+    permutation pass) regardless of document length, zero per-document
+    Python.  Same elementwise ``(a*h + b) mod p`` arithmetic as
+    :func:`minhash_signature`, so signatures are bit-identical."""
+    nd = len(seg_starts) - 1
+    sig = np.full((nd, len(a)), MERSENNE, dtype=np.uint64)
+    total = int(seg_starts[-1]) if nd else 0
+    for lo in range(0, total, MINHASH_BLOCK):
+        hi = min(total, lo + MINHASH_BLOCK)
+        blk = h_all[lo:hi]
+        d0 = int(np.searchsorted(seg_starts, lo, side="right")) - 1
+        d1 = int(np.searchsorted(seg_starts, hi, side="left"))
+        rel = np.maximum(seg_starts[d0:d1] - lo, 0)
+        for j in range(len(a)):
+            vals = (a[j] * blk + b[j]) % MERSENNE
+            np.minimum(
+                sig[d0:d1, j],
+                np.minimum.reduceat(vals, rel),
+                out=sig[d0:d1, j],
+            )
+    return sig.astype(np.int64)
+
+
 def make_minhash_udf(num_perm: int = 64, shingle: int = 5, seed: int = 42):
-    """pandas UDF: text → array<bigint> MinHash signature (vectorized)."""
+    """pandas UDF: text → array<bigint> MinHash signature (batch-vectorized:
+    the whole Arrow batch is shingled and min-reduced in numpy)."""
     a, b = _perm_params(num_perm, seed)
 
     @pandas_udf("array<long>")
     def minhash(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            h = _shingle_hashes(t or "", shingle)
-            out.append(minhash_signature(h, a, b))
-        return pd.Series(out)
+        h_all, seg = _shingle_hashes_batch(list(texts), shingle)
+        return pd.Series(list(minhash_signatures_batch(h_all, seg, a, b)))
 
     return minhash
 

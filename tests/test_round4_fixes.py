@@ -164,3 +164,43 @@ def test_token_range_zone_map_prunes_and_filters(spark, tmp_path):
         decode(spark, out, token_range=("1", None))
     with pytest.raises(ValueError, match="requires 'tokens'"):
         decode(spark, out, columns=["doc_id"], token_range=(1, None))
+
+
+def test_batch_minhash_bit_identical_to_scalar():
+    """The batch shingle/signature path must reproduce the per-document
+    path's signatures bit-for-bit (incl. short-text fallback, unicode,
+    empty strings, and docs long enough to span several MINHASH_BLOCKs)."""
+    import numpy as np
+
+    from clj_orc_spark.operators.dedup import (
+        MINHASH_BLOCK,
+        _perm_params,
+        _shingle_hashes,
+        _shingle_hashes_batch,
+        minhash_signature,
+        minhash_signatures_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    long_doc = "".join(rng.choice(list("abcdefgh "), 3 * MINHASH_BLOCK + 17))
+    texts = ["", "ab", "abcd", "hello world " * 50, "üñïçødé πξ" * 3,
+             "the quick brown fox", long_doc, "x"]
+    a, b = _perm_params(16)
+    expected = np.stack([
+        minhash_signature(_shingle_hashes(t, 5), a, b) for t in texts
+    ])
+    h_all, seg = _shingle_hashes_batch(texts, 5)
+    got = minhash_signatures_batch(h_all, seg, a, b)
+    assert np.array_equal(got, expected)
+
+
+def test_batch_minhash_empty_batch():
+    from clj_orc_spark.operators.dedup import (
+        _perm_params,
+        _shingle_hashes_batch,
+        minhash_signatures_batch,
+    )
+
+    a, b = _perm_params(8)
+    h_all, seg = _shingle_hashes_batch([], 5)
+    assert minhash_signatures_batch(h_all, seg, a, b).shape == (0, 8)
