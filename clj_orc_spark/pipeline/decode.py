@@ -17,38 +17,61 @@ import json
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..kernels import crc32, decode_any
-from . import pafs
+from . import fsio, pafs
+from .encode import DEFAULT_SCHEMA, list_payload_names, physical_cols
 
 TOKEN_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
 
-#: logical output column → physical payload rows it needs
-_PHYSICAL = {
-    "doc_id": ("doc_id",),
-    "tokens": ("token_values", "offsets"),
-    "n_tok": ("n_tok",),
-    "source": ("source",),
-}
-_LOGICAL_ORDER = ("doc_id", "tokens", "n_tok", "source")
+_DDL_TYPE = {"str": "string", "int32": "int", "int64": "bigint",
+             "list32": "array<int>", "list64": "array<bigint>"}
+_LIST_VALUE_TYPE = {"list32": pa.int32, "list64": pa.int64}
+_INT_TYPE = {"int32": (np.int32, pa.int32), "int64": (np.int64, pa.int64)}
 
 
-def _select_ddl(columns: list[str]) -> str:
-    types = dict(
-        doc_id="string", tokens="array<int>", n_tok="int", source="string"
-    )
-    return ", ".join(f"{c} {types[c]}" for c in columns)
+def _physical_map(schema) -> dict[str, tuple[str, ...]]:
+    """Logical output column → physical payload rows it needs."""
+    return {
+        name: (list_payload_names(name) if kind.startswith("list") else (name,))
+        for name, kind in schema
+    }
 
 
-def decode_chunk_table(tbl: pa.Table, columns: list[str] | None = None) -> pa.Table:
-    """Decode one chunk's column rows back to token-table rows.
+def _select_ddl(columns: list[str], schema) -> str:
+    kinds = dict(schema)
+    return ", ".join(f"{c} {_DDL_TYPE[kinds[c]]}" for c in columns)
+
+
+def store_schema(spark, out_dir: str) -> list[tuple[str, str]]:
+    """The schema descriptor pinned in the store's plan.json (round 4+);
+    stores written before schema recording are the fixed token table."""
+    import os
+
+    p = os.path.join(out_dir, "plan.json")
+    if fsio.exists(spark, p):
+        sch = json.loads(fsio.read_text(spark, p)).get("schema")
+        if sch:
+            return [tuple(t) for t in sch]
+    return list(DEFAULT_SCHEMA)
+
+
+def decode_chunk_table(tbl: pa.Table, columns: list[str] | None = None,
+                       schema=DEFAULT_SCHEMA) -> pa.Table:
+    """Decode one chunk's column rows back to source-table rows.
 
     ``columns`` prunes the decode: only the payloads backing the requested
     logical columns are CRC-checked and decoded — asking for metadata
     columns (doc_id/n_tok/source) skips the token_values kernel entirely,
-    which is ~97% of the decode work."""
-    wanted = list(columns) if columns is not None else list(_LOGICAL_ORDER)
-    needed = {p for c in wanted for p in _PHYSICAL[c]}
+    which is ~97% of the decode work.  ``schema`` is the store's descriptor
+    (schema-driven kernel binding, the decode half of the reference's
+    user-declared plan, `src/orc/col.clj:184-204`)."""
+    kinds = dict(schema)
+    order = [name for name, _ in schema]
+    phys = _physical_map(schema)
+    wanted = list(columns) if columns is not None else order
+    needed = {p for c in wanted for p in phys[c]}
     cols = {}
     for i in range(tbl.num_rows):
         name = tbl.column("col")[i].as_py()
@@ -68,23 +91,27 @@ def decode_chunk_table(tbl: pa.Table, columns: list[str] | None = None) -> pa.Ta
 
     out = {}
     for c in wanted:
-        if c == "tokens":
-            flat = cols["token_values"].astype(np.int32, copy=False)
-            offsets = cols["offsets"].astype(np.int64, copy=False)
+        kind = kinds[c]
+        if kind.startswith("list"):
+            v_name, o_name = phys[c]
+            val_np = np.int32 if kind == "list32" else np.int64
+            flat = cols[v_name].astype(val_np, copy=False)
+            offsets = cols[o_name].astype(np.int64, copy=False)
             n = len(offsets) - 1
             if n and int(offsets[-1]) > np.iinfo(np.int32).max:
                 # Arrow list<int32> offsets are int32; a chunk encoded with a
                 # huge chunk_bytes setting would wrap silently — refuse loudly
                 raise IOError(
-                    f"chunk holds {int(offsets[-1])} token values, beyond "
+                    f"chunk holds {int(offsets[-1])} list values, beyond "
                     "int32 list offsets; re-encode with chunk_bytes <= 8 GiB"
                 )
             out[c] = pa.ListArray.from_arrays(
                 pa.array(offsets.astype(np.int32)),
-                pa.array(flat, type=pa.int32()),
+                pa.array(flat, type=_LIST_VALUE_TYPE[kind]()),
             )
-        elif c == "n_tok":
-            out[c] = pa.array(cols["n_tok"].astype(np.int32), type=pa.int32())
+        elif kind in _INT_TYPE:
+            np_t, pa_t = _INT_TYPE[kind]
+            out[c] = pa.array(cols[c].astype(np_t), type=pa_t())
         else:
             out[c] = cols[c].to_arrow()
     return pa.table(out)
@@ -256,6 +283,22 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
 
     from pyspark.sql import functions as F
 
+    schema = store_schema(spark, out_dir)
+    kinds = dict(schema)
+    order = [name for name, _ in schema]
+    # predicate columns are the engine's token-table specials — a store
+    # encoded with another schema must reject them at plan time
+    for pred_val, pred, colname in (
+        (doc_id_range, "doc_id_range", "doc_id"),
+        (n_tok_range, "n_tok_range", "n_tok"),
+        (source_in, "source_in", "source"),
+        (token_range, "token_range", "tokens"),
+    ):
+        if pred_val is not None and colname not in kinds:
+            raise ValueError(
+                f"{pred} requires a {colname!r} column; this store's schema "
+                f"is {order}"
+            )
     # bound TYPES are validated at plan time: the recorded doc_id stats are
     # lexicographic strings — numeric bounds would make Spark coerce the
     # stats to numbers and silently prune chunks that actually match
@@ -280,7 +323,7 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
             # an empty projection would otherwise surface later as an opaque
             # Spark DDL ParseException — fail at plan time instead
             raise ValueError("columns must be a non-empty list or None")
-        bad = set(columns) - set(_LOGICAL_ORDER)
+        bad = set(columns) - set(order)
         if bad:
             raise ValueError(f"unknown columns: {sorted(bad)}")
         if doc_id_range is not None and "doc_id" not in columns:
@@ -291,8 +334,8 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
             raise ValueError("source_in requires 'source' in columns")
         if token_range is not None and "tokens" not in columns:
             raise ValueError("token_range requires 'tokens' in columns")
-        columns = [c for c in _LOGICAL_ORDER if c in set(columns)]
-    ddl = _select_ddl(columns) if columns is not None else TOKEN_DDL
+        columns = [c for c in order if c in set(columns)]
+    ddl = _select_ddl(columns if columns is not None else order, schema)
 
     def exact_filter(df):
         for col, rng in (("doc_id", doc_id_range), ("n_tok", n_tok_range)):
@@ -329,7 +372,7 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
             chunks = chunks.where(F.col("part_id").isin(list(part_ids)))
 
         def decode_group(tbl: pa.Table) -> pa.Table:
-            return decode_chunk_table(tbl, columns)
+            return decode_chunk_table(tbl, columns, schema)
 
         return exact_filter(
             chunks.groupBy("chunk_id").applyInArrow(decode_group, ddl)
@@ -352,10 +395,12 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
     if not work_rows:
         return spark.createDataFrame([], ddl)
 
-    needed_cols = sorted(
-        {p for c in (columns or _LOGICAL_ORDER) for p in _PHYSICAL[c]}
+    phys = _physical_map(schema)
+    needed_cols = sorted({p for c in (columns or order) for p in phys[c]})
+    prune_cols = (
+        columns is not None
+        and len(needed_cols) < len(physical_cols(schema))
     )
-    prune_cols = columns is not None and len(needed_cols) < len(_PHYSICAL) + 1
 
     def decode_files(batches):
         import pyarrow.parquet as pq
@@ -379,8 +424,10 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
                 tbl = pq.read_table(p, filesystem=fs, filters=filters or None)
                 ids = tbl.column("chunk_id").to_numpy()
                 for cid in np.unique(ids):
-                    group = tbl.filter(pa.compute.equal(tbl.column("chunk_id"), cid))
-                    yield from decode_chunk_table(group, columns).to_batches()
+                    group = tbl.filter(pc.equal(tbl.column("chunk_id"), cid))
+                    yield from decode_chunk_table(
+                        group, columns, schema
+                    ).to_batches()
 
     # each task receives its OWN file path as data — a closure over the full
     # file list would ship every task a copy of all paths (millions at 100 TB)

@@ -45,6 +45,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..kernels import StringCol, crc32
 from ..selector import encode_column
@@ -82,52 +83,138 @@ OUT_DDL = (
 #: flattens ``tokens`` (list layout = `src/orc/col.clj:114-116`)
 CHUNK_COLS = ("doc_id", "source", "n_tok", "token_values", "offsets")
 
+#: the fixed token-table schema (BASELINE input_hint) as a schema descriptor —
+#: ``(name, kind)`` pairs, kind ∈ {str, int32, int64, list32, list64}.  Since
+#: round 4 the engine encodes ANY flat schema of these kinds (the analog of
+#: the reference's user-declared decode plan, `src/orc/col.clj:184-204`:
+#: schema-driven kernel binding instead of a hardcoded column list).
+DEFAULT_SCHEMA = (
+    ("doc_id", "str"), ("tokens", "list32"), ("n_tok", "int32"),
+    ("source", "str"),
+)
+
+_KIND_NP = {"int32": np.int32, "int64": np.int64,
+            "list32": np.int32, "list64": np.int64}
+
+
+def list_payload_names(name: str) -> tuple[str, str]:
+    """Physical payload columns backing a list column.  The default token
+    table keeps its historical names (token_values/offsets) so every store
+    encoded before round 4 stays decodable byte-for-byte."""
+    if name == "tokens":
+        return "token_values", "offsets"
+    return f"{name}__values", f"{name}__offsets"
+
+
+def physical_cols(schema) -> tuple[str, ...]:
+    out: list[str] = []
+    for name, kind in schema:
+        if kind.startswith("list"):
+            out.extend(list_payload_names(name))
+        else:
+            out.append(name)
+    return tuple(out)
+
+
+def derive_schema(arrow_schema) -> list[tuple[str, str]]:
+    """Schema descriptor from a parquet/Arrow schema — plan-time throw on
+    unsupported types, like the reference's handler compiler
+    (`src/orc/col.clj:200-203`)."""
+    import pyarrow as _pa
+
+    out: list[tuple[str, str]] = []
+    for field in arrow_schema:
+        t = field.type
+        if _pa.types.is_string(t) or _pa.types.is_large_string(t):
+            out.append((field.name, "str"))
+        elif t in (_pa.int32(), _pa.int16(), _pa.int8()):
+            out.append((field.name, "int32"))
+        elif t == _pa.int64():
+            out.append((field.name, "int64"))
+        elif _pa.types.is_list(t) or _pa.types.is_large_list(t):
+            vt = t.value_type
+            if vt in (_pa.int32(), _pa.int16(), _pa.int8()):
+                out.append((field.name, "list32"))
+            elif vt == _pa.int64():
+                out.append((field.name, "list64"))
+            else:
+                raise ValueError(
+                    f"unsupported list value type {vt} for column "
+                    f"{field.name!r}: engine codecs take int32/int64 values"
+                )
+        else:
+            raise ValueError(
+                f"unsupported column type {t} for {field.name!r}: engine "
+                "schemas are flat str/int32/int64/array<int>/array<bigint>"
+            )
+    if not out:
+        raise ValueError("cannot encode an empty schema")
+    return out
+
+
+def _is_default_schema(schema) -> bool:
+    return tuple(map(tuple, schema)) == DEFAULT_SCHEMA
+
+
+def _flatten_list(col, dtype) -> np.ndarray:
+    """Flatten per chunk, NOT combine_chunks().flatten(): combining copies
+    the whole list column (~2x the chunk's token bytes in memory traffic),
+    while per-chunk flatten() is an offset-aware zero-copy view — one
+    concatenate only when the table actually holds multiple chunks."""
+    parts = [np.asarray(c.flatten(), dtype=dtype) for c in col.chunks]
+    if len(parts) == 1:
+        return parts[0]
+    return np.concatenate(parts) if parts else np.empty(0, dtype=dtype)
+
 
 def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int,
                        cache: dict | None = None,
-                       policy: str = "size") -> dict[str, list]:
-    """Encode one chunk's five physical columns → manifest/payload rows.
+                       policy: str = "size",
+                       schema=DEFAULT_SCHEMA) -> dict[str, list]:
+    """Encode one chunk's physical columns → manifest/payload rows.
+
+    ``schema`` drives kernel binding (the reference's user-declared decode
+    plan, inverted): each str column becomes one StringCol payload, each int
+    column one int payload, each list column a flat values payload + an
+    int64 offsets payload (list layout = `src/orc/col.clj:114-116`).
 
     ``cache`` is the per-partition selection cache (selector.encode_column):
     chunk 0 of a partition pays full selection + FSST table construction,
     later chunks reuse it — selection was ~half the string encode time."""
     n = tbl.num_rows
-    # flatten per chunk, NOT combine_chunks().flatten(): combining copies
-    # the whole list column (~2x the chunk's token bytes in memory traffic),
-    # while per-chunk flatten() is an offset-aware zero-copy view — one
-    # concatenate only when the table actually holds multiple chunks
-    tok_parts = [
-        np.asarray(c.flatten(), dtype=np.int32)
-        for c in tbl.column("tokens").chunks
-    ]
-    flat = (
-        tok_parts[0] if len(tok_parts) == 1
-        else np.concatenate(tok_parts) if tok_parts
-        else np.empty(0, dtype=np.int32)
-    )
-    n_tok = np.asarray(tbl.column("n_tok").combine_chunks(), dtype=np.int32)
-    offsets = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(n_tok, out=offsets[1:])
-    columns: dict[str, tuple[object, str, int]] = {
-        "doc_id": (StringCol.from_arrow(tbl.column("doc_id").combine_chunks()), "str", 0),
-        "source": (StringCol.from_arrow(tbl.column("source").combine_chunks()), "str", 0),
-        "n_tok": (n_tok, "int", n_tok.nbytes),
-        "token_values": (flat, "int", flat.nbytes),
-        "offsets": (offsets, "int", offsets.nbytes),
-    }
-    chunk_id = (part_id << 20) | seq
     # per-chunk per-column min/max — the ORC column-statistics analog
     # (zone maps): recorded in the manifest so decode can prune chunks
     # against predicates without touching payloads
-    mm = {}
-    for arrow_name in ("doc_id", "source"):
-        lohi = pa.compute.min_max(tbl.column(arrow_name))
-        mm[arrow_name] = {"min": lohi["min"].as_py(), "max": lohi["max"].as_py()}
-    mm["n_tok"] = {"min": int(n_tok.min()) if n else None,
-                   "max": int(n_tok.max()) if n else None}
-    mm["token_values"] = {"min": int(flat.min()) if len(flat) else None,
+    columns: dict[str, tuple[object, str, int]] = {}
+    mm: dict[str, dict] = {}
+    for name, kind in schema:
+        if kind == "str":
+            col = StringCol.from_arrow(tbl.column(name).combine_chunks())
+            columns[name] = (col, "str", 0)
+            lohi = pc.min_max(tbl.column(name))
+            mm[name] = {"min": lohi["min"].as_py(), "max": lohi["max"].as_py()}
+        elif kind in ("int32", "int64"):
+            arr = np.asarray(
+                tbl.column(name).combine_chunks(), dtype=_KIND_NP[kind]
+            )
+            columns[name] = (arr, "int", arr.nbytes)
+            mm[name] = {"min": int(arr.min()) if n else None,
+                        "max": int(arr.max()) if n else None}
+        else:  # list32 / list64
+            flat = _flatten_list(tbl.column(name), _KIND_NP[kind])
+            lens = np.asarray(
+                pc.list_value_length(tbl.column(name)).combine_chunks(),
+                dtype=np.int64,
+            )
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=offsets[1:])
+            v_name, o_name = list_payload_names(name)
+            columns[v_name] = (flat, "int", flat.nbytes)
+            columns[o_name] = (offsets, "int", offsets.nbytes)
+            mm[v_name] = {"min": int(flat.min()) if len(flat) else None,
                           "max": int(flat.max()) if len(flat) else None}
-    mm["offsets"] = {"min": 0, "max": int(offsets[-1])}
+            mm[o_name] = {"min": 0, "max": int(offsets[-1])}
+    chunk_id = (part_id << 20) | seq
 
     rows: dict[str, list] = {k.name: [] for k in OUT_SCHEMA}
     for col_name, (col, kind, raw) in columns.items():
@@ -344,7 +431,34 @@ def rowgroup_work_df(spark, parts: list[list[list]], pending: list[int]):
     )
 
 
-def make_rowgroup_encoder(chunk_bytes: int, fs=None, policy: str = "size"):
+def _row_weight_csum(tbl: pa.Table, schema) -> np.ndarray:
+    """Cumulative per-row raw-byte weights for the chunk-budget governor.
+
+    List columns dominate (values bytes); for the default token table this
+    is exactly the historical ``n_tok * 4``, so chunk boundaries — and
+    therefore payload bytes — are unchanged for existing stores.  A schema
+    with no list column falls back to its fixed per-row scalar footprint
+    (+8/str for the offsets index) so the governor still flushes."""
+    w = None
+    scalar_bytes = 0
+    for name, kind in schema:
+        if kind.startswith("list"):
+            lens = np.asarray(
+                pc.list_value_length(tbl.column(name)).combine_chunks(),
+                dtype=np.int64,
+            ) * _KIND_NP[kind]().itemsize
+            w = lens if w is None else w + lens
+        elif kind == "str":
+            scalar_bytes += 8
+        else:
+            scalar_bytes += _KIND_NP[kind]().itemsize
+    if w is None:
+        w = np.full(tbl.num_rows, max(1, scalar_bytes), dtype=np.int64)
+    return np.cumsum(w)
+
+
+def make_rowgroup_encoder(chunk_bytes: int, fs=None, policy: str = "size",
+                          schema=DEFAULT_SCHEMA):
     """ONE-stage scan+encode for ``mapInArrow`` over :func:`rowgroup_work_df`.
 
     Each task owns one ``part_id`` (a planned bin of row groups): it reads
@@ -386,43 +500,62 @@ def make_rowgroup_encoder(chunk_bytes: int, fs=None, policy: str = "size"):
                             pass
 
     def encode_units(pid, units, handles, seq, sel_cache):
-        for f, rg, lo, hi in units:
+        import concurrent.futures as cf
+
+        cols = [name for name, _ in schema]
+
+        def read_unit(unit):
+            f, rg, lo, hi = unit
             if f not in handles:
                 handles[f] = pafs.open_parquet(f, fs)
-            cols = ["doc_id", "tokens", "n_tok", "source"]
             if int(rg) < 0:  # whole-file unit (manifest had no
                 tbl = handles[f].read(columns=cols)  # split offsets)
             else:
                 tbl = handles[f].read_row_group(int(rg), columns=cols)
             if int(hi) >= 0:
                 tbl = tbl.slice(int(lo), int(hi) - int(lo))
-            if not tbl.num_rows:
-                continue
-            # chunk boundaries straight on the row-group table:
-            # zero-copy slices into the byte-budget governor — no
-            # re-batching/concat copies on the hot path
-            tok_csum = np.cumsum(
-                np.asarray(
-                    tbl.column("n_tok").combine_chunks(), dtype=np.int64
-                )
-                * 4
-            )
-            row = 0
-            while row < tbl.num_rows:
-                base = int(tok_csum[row - 1]) if row else 0
-                end = int(
-                    np.searchsorted(tok_csum, base + chunk_bytes, side="right")
-                )
-                end = min(tbl.num_rows, max(row + 1, end))
-                rows = _encode_chunk_rows(
-                    tbl.slice(row, end - row), pid, seq, sel_cache, policy
-                )
-                seq += 1
-                row = end
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(rows[fld.name], type=fld.type) for fld in OUT_SCHEMA],
-                    schema=OUT_SCHEMA,
-                )
+            return tbl
+
+        # READ/ENCODE OVERLAP: one background reader prefetches row group
+        # i+1 while the kernels encode row group i — pyarrow's parquet read
+        # releases the GIL, so scan I/O+decompression genuinely overlaps the
+        # numpy encode (the single-task lever left after the kernels passed
+        # the single-core scan rate, BENCH.md round 3).  Exactly ONE unit is
+        # in flight, so peak memory is current + next row group; only the
+        # reader thread touches ``handles``.  Pure reordering — chunk
+        # boundaries and payloads are byte-identical (bit-identity pins).
+        with cf.ThreadPoolExecutor(max_workers=1) as pool:
+            nxt = pool.submit(read_unit, units[0]) if units else None
+            for i in range(len(units)):
+                tbl = nxt.result()
+                nxt = (pool.submit(read_unit, units[i + 1])
+                       if i + 1 < len(units) else None)
+                if not tbl.num_rows:
+                    continue
+                # chunk boundaries straight on the row-group table:
+                # zero-copy slices into the byte-budget governor — no
+                # re-batching/concat copies on the hot path
+                tok_csum = _row_weight_csum(tbl, schema)
+                row = 0
+                while row < tbl.num_rows:
+                    base = int(tok_csum[row - 1]) if row else 0
+                    end = int(
+                        np.searchsorted(
+                            tok_csum, base + chunk_bytes, side="right"
+                        )
+                    )
+                    end = min(tbl.num_rows, max(row + 1, end))
+                    rows = _encode_chunk_rows(
+                        tbl.slice(row, end - row), pid, seq, sel_cache,
+                        policy, schema,
+                    )
+                    seq += 1
+                    row = end
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(rows[fld.name], type=fld.type)
+                         for fld in OUT_SCHEMA],
+                        schema=OUT_SCHEMA,
+                    )
 
     return run
 
@@ -536,6 +669,16 @@ def _load_or_compute_plan(spark, df, out_dir: str, n_partitions: int,
     return plan
 
 
+def _schema_from_files(files: list[str] | None, fs=None):
+    """Derive the schema descriptor from the first input file's footer
+    (plan-time; schemas are homogeneous across a dataset's files)."""
+    import pyarrow.parquet as pq
+
+    if not files:
+        return None
+    return derive_schema(pq.read_schema(files[0], filesystem=fs))
+
+
 def _load_or_compute_rowgroup_plan(spark, out_dir: str, files: list[str],
                                    n_partitions: int, explicit: bool,
                                    fs=None, plan: dict | None = None) -> dict:
@@ -543,12 +686,29 @@ def _load_or_compute_rowgroup_plan(spark, out_dir: str, files: list[str],
     plan IS the part→row-group assignment, so a resume re-encodes exactly
     the pending bins regardless of file-listing order or bin-packing ties.
     A caller-supplied ``plan`` (e.g. the Iceberg-manifest planner,
-    sources/iceberg_plan.py) is persisted the same way."""
+    sources/iceberg_plan.py) is persisted the same way.  The plan also
+    pins the SCHEMA descriptor: decode and resumed encodes read it from
+    plan.json, so a store's layout never depends on what happens to be at
+    input_path later."""
     plan_path = os.path.join(out_dir, "plan.json")
     if fsio.exists(spark, plan_path):
         return json.loads(fsio.read_text(spark, plan_path))
     if plan is None:
         plan = _rowgroup_plan(files, n_partitions, explicit, fs)
+    if "schema" not in plan:
+        schema = _schema_from_files(files, fs)
+        if schema is None:
+            # plan= hook with input_path=None: derive from the first unit's
+            # own path (Iceberg units carry their URIs); default otherwise
+            try:
+                first = next(
+                    u[0] for part in plan.get("parts", []) for u in part
+                )
+                ufs, upath = pafs.resolve(first, fs)
+                schema = _schema_from_files([upath], ufs)
+            except Exception:
+                schema = [list(t) for t in DEFAULT_SCHEMA]
+        plan["schema"] = [list(t) for t in schema]
     fsio.write_text(spark, plan_path, json.dumps(plan))
     return plan
 
@@ -591,7 +751,7 @@ def _write_chunks(encoded, chunks_dir: str) -> None:
 
 
 def _commit_manifest(spark, out_dir: str, chunks_dir: str,
-                     pending: list[int]) -> None:
+                     pending: list[int], n_phys: int = len(CHUNK_COLS)) -> None:
     """Manifest commit for a wave of partitions: chunk records (payload
     pruned — parquet column pruning makes this read cheap, and ``file``
     records each chunk's physical path so decode/resume never need a
@@ -621,7 +781,7 @@ def _commit_manifest(spark, out_dir: str, chunks_dir: str,
         .groupBy("part_id")
         .agg(
             F.countDistinct("chunk_id").alias("n_chunks"),
-            (F.sum("n_rows") / F.lit(len(CHUNK_COLS))).cast("long").alias("n_rows"),
+            (F.sum("n_rows") / F.lit(n_phys)).cast("long").alias("n_rows"),
             F.sum("enc_bytes").alias("enc_bytes"),
             F.sum("raw_bytes").alias("raw_bytes"),
         )
@@ -773,6 +933,7 @@ def encode(
             degraded_from=degraded_reason if scan == "auto" else None,
         )
     mode = plan.get("mode", "salted")
+    schema = [tuple(t) for t in plan.get("schema", [])] or list(DEFAULT_SCHEMA)
     if mode == "rowgroup":
         if df is not None:
             raise ValueError(
@@ -810,6 +971,21 @@ def encode(
                 "out_dir was encoded with the fused pyarrow scan (fnv1a part "
                 "assignment); resume it with the same input_path, not df="
             )
+        # the salted/JVM scanners and chunk splitter are written against the
+        # fixed token-table columns; general schemas go through the
+        # schema-driven rowgroup scan
+        if df is not None:
+            got = {t for t in df.dtypes if t[0] != "part_id"}
+            want = {("doc_id", "string"), ("tokens", "array<int>"),
+                    ("n_tok", "int"), ("source", "string")}
+            if got != want:
+                raise ValueError(
+                    "the salted/JVM scan encodes exactly the token-table "
+                    f"schema {sorted(want)}; got {sorted(got)}.  General "
+                    "flat schemas (str/int32/int64/array<int>) are supported "
+                    "by the zero-shuffle rowgroup scan — pass input_path= "
+                    "instead of df="
+                )
     n_total = plan["n_total"]
 
     done = completed_part_ids(spark, out_dir) if resume else set()
@@ -822,7 +998,7 @@ def encode(
 
     if mode == "rowgroup":
         encoded = rowgroup_work_df(spark, plan["parts"], pending).mapInArrow(
-            make_rowgroup_encoder(chunk_bytes, fs, selection), OUT_DDL
+            make_rowgroup_encoder(chunk_bytes, fs, selection, schema), OUT_DDL
         )
     else:
         pending_set = set(pending) if (done or limit_parts is not None) else None
@@ -858,7 +1034,8 @@ def encode(
                 "skipped": len(done), "chunk_bytes": chunk_bytes,
                 "wall_sec": time.time() - t0}
 
-    _commit_manifest(spark, out_dir, chunks_dir, pending)
+    _commit_manifest(spark, out_dir, chunks_dir, pending,
+                     n_phys=len(physical_cols(schema)))
 
     wall = time.time() - t0
     report = {
@@ -885,7 +1062,8 @@ def encode(
         json.dumps(
             {
                 "engine": "clj_orc_spark",
-                "schema_cols": list(CHUNK_COLS),
+                "schema_cols": list(physical_cols(schema)),
+                "schema": [list(t) for t in schema],
                 "runs": history + [report],
             },
             indent=1,

@@ -79,4 +79,5 @@ def test_oracle_keys_subset_of_queries():
     assert qs - os_ == {
         "encode_roundtrip", "codec_manifest", "minhash_dedup",
         "simhash_dedup", "ivf_ann", "multimodal_features",
+        "embed_near_dup_lsh_scale",  # recall-traded LSH config: no sound oracle
     }
