@@ -10,11 +10,14 @@ the codec path for the formats decodable without external libraries:
   FFT-magnitude bands.
 * **resize**: nearest-neighbor + block-mean downsample, vectorized.
 
-JPEG/PNG decode and video frame sampling still require codec libraries not
-present in this container and remain declared ``NotImplementedError`` stubs
-(strict mode) with a deterministic content-hash fake for plumbing tests —
-swapping in Pillow/pyav changes one dispatch branch, none of the
-distributed plumbing.
+* **video**: Y4M (YUV4MPEG2) streams decode + frame-sample in pure numpy
+  (mono/420/422/444 luma); features are the mean per-frame thumbnail.
+
+JPEG/PNG decode (Pillow, dispatched at runtime when importable) and
+COMPRESSED-video demux (ffmpeg/pyav) are the remaining declared
+``NotImplementedError`` stubs, with a deterministic content-hash fake for
+plumbing tests — swapping in the codec lib changes one dispatch branch,
+none of the distributed plumbing.
 """
 
 from __future__ import annotations
@@ -190,9 +193,117 @@ def audio_feature(payload: bytes, bands: int = FEATURE_DIM) -> np.ndarray:
     return (e / norm if norm > 0 else e).astype(np.float32)
 
 
-def sample_frames(payload: bytes, meta: dict, every_ms: int = 1000):  # pragma: no cover
-    """STUB: real implementation needs ffmpeg/pyav (container demux + codec)."""
-    raise NotImplementedError("video frame sampling requires ffmpeg/pyav")
+# --- video: Y4M (YUV4MPEG2) in pure numpy -----------------------------------
+
+_Y4M_FRAME_FACTOR = {  # colorspace → frame bytes as a multiple of w*h (×2)
+    b"mono": 2, b"420": 3, b"420jpeg": 3, b"420mpeg2": 3, b"420paldv": 3,
+    b"422": 4, b"444": 6,
+}
+
+
+def _parse_y4m_header(payload: bytes) -> tuple[int, int, tuple[int, int], bytes, int]:
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    end = payload.index(b"\n")
+    toks = payload[:end].split(b" ")
+    w = h = None
+    fn, fd = 25, 1
+    cs = b"420"
+    for t in toks[1:]:
+        tag, val = t[:1], t[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            fn, fd = (int(x) for x in val.split(b":"))
+        elif tag == b"C":
+            cs = val
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if cs not in _Y4M_FRAME_FACTOR:
+        raise NotImplementedError(f"Y4M colorspace {cs!r} not supported")
+    return w, h, (fn, fd), cs, end + 1
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """Y4M bytes → (luma frames ``[n, h, w]`` uint8, (fps_num, fps_den)).
+
+    Pure numpy: parse the plain-text stream header, stride frame-by-frame
+    (each ``FRAME\\n`` marker + planar YUV payload sized by the colorspace),
+    and view the Y plane zero-copy.  Chroma planes are skipped — features
+    use luma, the standard near-dup fingerprint basis.  Compressed video
+    (mp4/h264 etc.) still needs ffmpeg/pyav and stays a declared stub in
+    :func:`sample_frames`."""
+    w, h, fps, cs, pos = _parse_y4m_header(payload)
+    fsize = w * h * _Y4M_FRAME_FACTOR[cs] // 2
+    frames = []
+    while pos < len(payload):
+        nl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        pos = nl + 1
+        if pos + fsize > len(payload):
+            raise ValueError("truncated Y4M frame")
+        frames.append(
+            np.frombuffer(payload, np.uint8, w * h, pos).reshape(h, w)
+        )
+        pos += fsize
+    stack = np.stack(frames) if frames else np.empty((0, h, w), np.uint8)
+    return stack, fps
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1),
+               colorspace: bytes = b"mono") -> bytes:
+    """``[n, h, w]`` uint8 luma frames → Y4M bytes (test/fixture writer, the
+    analog of the reference's ORC writer fixtures).  ``mono`` writes luma
+    only; ``420`` pads neutral-gray chroma planes."""
+    n, h, w = frames.shape
+    header = (
+        b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C%s\n"
+        % (w, h, fps[0], fps[1], colorspace)
+    )
+    chroma = b""
+    if colorspace != b"mono":
+        if colorspace not in _Y4M_FRAME_FACTOR or colorspace == b"444":
+            raise NotImplementedError("encode supports mono and 420 flavors")
+        chroma = b"\x80" * ((w // 2) * (h // 2) * 2)
+    out = [header]
+    for f in frames:
+        out.append(b"FRAME\n")
+        out.append(f.astype(np.uint8, copy=False).tobytes())
+        out.append(chroma)
+    return b"".join(out)
+
+
+def sample_frames(payload: bytes, meta: dict | None = None,
+                  every_ms: int = 1000) -> list[np.ndarray]:
+    """Video frame sampling: one luma frame every ``every_ms``.
+
+    REAL for Y4M/raw streams (pure numpy, :func:`decode_y4m`); compressed
+    containers (mp4/h264/vp9) need ffmpeg/pyav — not importable in this
+    container — and remain a declared stub, same policy as JPEG/PNG."""
+    if payload[:9] == b"YUV4MPEG2":
+        frames, (fn, fd) = decode_y4m(payload)
+        if not len(frames):
+            return []
+        step = max(1, round(every_ms * fn / (1000 * fd)))
+        return list(frames[::step])
+    raise NotImplementedError(
+        "compressed-video frame sampling requires ffmpeg/pyav; Y4M/raw "
+        "streams decode natively"
+    )
+
+
+def video_feature(payload: bytes, every_ms: int = 1000,
+                  grid: int = 8) -> np.ndarray:
+    """Real 64-dim video feature: mean of the per-frame block-mean
+    thumbnails (:func:`image_feature`) over the sampled frames."""
+    frames = sample_frames(payload, every_ms=every_ms)
+    if not frames:
+        return np.zeros(grid * grid, dtype=np.float32)
+    feats = np.stack([image_feature(f, grid) for f in frames])
+    return feats.mean(axis=0).astype(np.float32)
 
 
 def extract_features(
@@ -211,6 +322,8 @@ def extract_features(
             return image_feature(decode_image(payload)).tolist()
         if kind == "audio":
             return audio_feature(payload, dim).tolist()
+        if kind == "video":
+            return video_feature(payload).tolist()
         raise NotImplementedError(f"no real extractor for kind={kind}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -257,7 +370,17 @@ def real_media_table(spark, n_rows: int = 32, seed: int = 42) -> DataFrame:
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n_rows):
-        if i % 2 == 0:
+        if i % 4 == 3:  # video: real Y4M streams (round 4)
+            h, w = int(rng.integers(8, 32)) * 2, int(rng.integers(8, 32)) * 2
+            nf = int(rng.integers(3, 12))
+            frames = rng.integers(0, 256, (nf, h, w), dtype=np.uint8)
+            cs = b"mono" if i % 8 == 3 else b"420"
+            rows.append(
+                (f"m-{i:06d}", "video",
+                 bytearray(encode_y4m(frames, (10, 1), cs)),
+                 (w, h, None, 100 * nf, "y4m"))
+            )
+        elif i % 2 == 0:
             h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
             rows.append(
