@@ -120,6 +120,22 @@ class StringCol:
         )
 
 
+#: process-wide selection-policy flag (set by selector.encode_column around
+#: each kernel call; task workers are single-threaded, so a module global is
+#: race-free).  "speed" policy skips explicit CPU-for-bytes trades inside
+#: kernels (currently: PatchedFor's recursive base encoding).
+_SPEED_MODE = False
+
+
+def speed_mode() -> bool:
+    return _SPEED_MODE
+
+
+def set_speed_mode(on: bool) -> None:
+    global _SPEED_MODE
+    _SPEED_MODE = bool(on)
+
+
 def pack_sections(*sections: bytes) -> tuple[bytes, list[int]]:
     """Concatenate binary sub-streams; return (payload, section lengths)."""
     return b"".join(sections), [len(s) for s in sections]

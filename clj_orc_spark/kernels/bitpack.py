@@ -255,7 +255,8 @@ class PatchedFor:
         return w, cost, counts
 
     @classmethod
-    def encode(cls, arr: np.ndarray, width_hint: int | None = None) -> tuple[bytes, dict]:
+    def encode(cls, arr: np.ndarray, width_hint: int | None = None,
+               base_recurse: bool = True) -> tuple[bytes, dict]:
         dtype = str(arr.dtype)
         n = len(arr)
         if n == 0:
@@ -295,13 +296,59 @@ class PatchedFor:
                 hi_section, hi_meta = cls.encode(hi_vals.astype(np.int64))
         if hi_section is None:
             hi_section = pack_bits(hi_vals, full - w)
-        payload, sections = pack_sections(pack_bits(base, w), pos_section, hi_section)
+        # recursive BASE encoding (round 4): the base stream flat-packs every
+        # value at w bits, but on skewed data the NON-exception values are
+        # themselves concentrated near 0 (zipfian rank codes: most are 0/1/2)
+        # — re-running patched-FOR on the base stream recovers ~0.4 bits/val
+        # of that slack (8.44 → 8.04 on the bench rank codes).  Gated the
+        # same way as the hi recursion: a histogram estimate must promise
+        # ≥5% before paying the extra pass, and the exact size must confirm.
+        # ONE level only (the inner call may not recurse its own base), and
+        # skipped entirely under the "speed" selection policy (base.py
+        # SPEED_MODE) — this is an explicit CPU-for-bytes trade reserved for
+        # the size-argmin contract.
+        from .base import speed_mode
+
+        base_section = None
+        base_meta = None
+        if base_recurse and not speed_mode() and w > 1 and n >= 65536:
+            if w <= 16:
+                # base < 2^w: a value bincount (O(n + 2^w), int ops) is far
+                # cheaper than a frexp bit-length pass over n floats
+                vb = np.bincount(
+                    base.astype(np.int64) if base.dtype == np.uint64 else base,
+                    minlength=1 << w,
+                )
+                b_counts = np.zeros(w + 1, dtype=np.int64)
+                np.add.at(
+                    b_counts, bit_lengths(np.arange(1 << w, dtype=np.uint64)),
+                    vb,
+                )
+            else:
+                b_counts = np.bincount(
+                    bit_lengths(base.astype(np.uint64, copy=False)),
+                    minlength=w + 1,
+                )
+            b_w, b_est = cls.best_width_from_hist(b_counts, n, w)
+            flat_cost = packed_nbytes(n, w)
+            if b_est < flat_cost * 0.95:
+                # width_hint reuses the gate's exact histogram, and the base
+                # stream keeps its native (often uint32) dtype — the inner
+                # encode runs the narrow fast paths with no int64 copy
+                cand, cand_meta = cls.encode(
+                    base, width_hint=b_w, base_recurse=False,
+                )
+                if len(cand) < flat_cost:
+                    base_section, base_meta = cand, cand_meta
+        if base_section is None:
+            base_section = pack_bits(base, w)
+        payload, sections = pack_sections(base_section, pos_section, hi_section)
         return payload, {
             "codec": cls.name, "n": n, "dtype": dtype, "ref": ref,
             "width": w, "full_width": full, "pos_width": pos_w,
             "pos_kind": "bitmap" if use_bitmap else "indices",
             "n_exc": int(len(exc_idx)), "sections": sections,
-            "hi": hi_meta,
+            "hi": hi_meta, "base": base_meta,
         }
 
     @classmethod
@@ -313,7 +360,11 @@ class PatchedFor:
         narrow = (
             meta["dtype"] in ("int32", "uint32") and meta["full_width"] <= 32
         )
-        res = unpack_bits(base_b, meta["width"], n, narrow=narrow)
+        if meta.get("base"):
+            dec = decode_int_sub(base_b, meta["base"])
+            res = dec.astype(np.uint32 if narrow else np.uint64, copy=False)
+        else:
+            res = unpack_bits(base_b, meta["width"], n, narrow=narrow)
         n_exc = meta["n_exc"]
         if n_exc:
             if meta.get("pos_kind") == "bitmap":

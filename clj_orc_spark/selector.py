@@ -246,7 +246,18 @@ def encode_column(column, kind: str, cache: dict | None = None,
     guard's recorded regret; the selection record carries ``cached: true``
     for auditability.
     """
-    cached = None if cache is None or key is None else cache.get(key)
+    from .kernels.base import set_speed_mode
+
+    set_speed_mode(policy == "speed")
+    try:
+        return _encode_column_inner(column, kind, cache, key, policy, cached=(
+            None if cache is None or key is None else cache.get(key)
+        ))
+    finally:
+        set_speed_mode(False)
+
+
+def _encode_column_inner(column, kind, cache, key, policy, cached):
     if kind == "int":
         if cached is not None:
             winner, ests = cached["winner"], cached["ests"]

@@ -273,3 +273,24 @@ def test_video_feature_through_spark(spark):
     assert len(rows) == 4
     for r in rows:
         assert len(r["feature"]) == 64
+
+
+def test_patched_for_recursive_base_roundtrip():
+    """Round-4 compression chip: skewed base streams re-encode recursively
+    (meta['base']) and must round-trip bit-exactly, smaller than flat."""
+    import numpy as np
+
+    from clj_orc_spark.kernels.bitpack import PatchedFor, packed_nbytes
+
+    rng = np.random.default_rng(42)
+    vals = np.minimum(rng.zipf(1.3, 200_000), 10_000).astype(np.int32)
+    p, m = PatchedFor.encode(vals)
+    assert m["base"] is not None, "skewed base should trigger recursion"
+    assert np.array_equal(PatchedFor.decode(p, m), vals)
+    # whole payload beats the flat-base formulation it replaced
+    flat_equiv = (packed_nbytes(m["n"], m["width"]) + (m["n"] + 7) // 8
+                  + packed_nbytes(m["n_exc"], m["full_width"] - m["width"]))
+    assert len(p) < flat_equiv
+    # int64 path too
+    p64, m64 = PatchedFor.encode(vals.astype(np.int64))
+    assert np.array_equal(PatchedFor.decode(p64, m64), vals.astype(np.int64))
