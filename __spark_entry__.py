@@ -620,6 +620,46 @@ def _q_roundtrip_token_pruned(spark, sf):
     return _roundtrip_agg(decode(spark, out, token_range=(8, None)))
 
 
+def _q_roundtrip_general(spark, sf):
+    """GENERAL-SCHEMA engine round-trip under the oracle (round 4): a
+    6-column table (token table + lang:string + year:int32) derived from
+    ``documents`` with pure SQL goes through the schema-driven encode →
+    decode WITH generic zone-map predicates (ranges= on year, isin= on
+    lang), and the aggregate of the decoded+filtered rows must equal
+    DuckDB's computation on the raw text — proving both the arbitrary-schema
+    codec path and the generic pruning are exact."""
+    import shutil
+
+    from clj_orc_spark.pipeline import decode, encode
+
+    toks = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "CAST(doc_id AS string) AS doc_id",
+        "transform(split(text, ' '), w -> length(w)) AS tokens",
+        "CAST(size(split(text, ' ')) AS int) AS n_tok",
+        "source",
+        "lang",
+        "CAST(2000 + n_chars % 25 AS int) AS year",
+    )
+    base = (f"/tmp/clj-orc-roundtrip-gen-"
+            f"{os.path.basename(os.path.normpath(sf))}-"
+            f"{spark.sparkContext.applicationId}")
+    src, out = base + "-src", base + "-store"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    toks.write.parquet(src)
+    encode(spark, src, out, n_partitions=4, resume=False)
+    dec = decode(spark, out, ranges={"year": (2005, 2015)},
+                 isin={"lang": ["en", "de"]})
+    return dec.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_words"),
+        F.sum(
+            F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x)
+        ).cast("long").alias("total_word_chars"),
+        F.max("year").alias("max_year"),
+    )
+
+
 def _q_multimodal_features(spark, sf):  # real-codec media path (rows-only)
     """Deterministic BMP/WAV payloads → REAL decode + feature extraction
     (operators/multimodal.py, fake=False) → per-kind rollup.  Rows-only:
@@ -708,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_pruned": _shipped(_q_roundtrip_pruned),
         "roundtrip_source_pruned": _shipped(_q_roundtrip_source_pruned),
         "roundtrip_token_pruned": _shipped(_q_roundtrip_token_pruned),
+        "roundtrip_general": _shipped(_q_roundtrip_general),
         "multimodal_features": _shipped(_q_multimodal_features),
         "codec_manifest": _shipped(_q_codec_manifest),
     }
@@ -807,6 +848,18 @@ def oracle_sql() -> dict[str, str]:
         # scale (seeds fixed, asserted in tests/test_oracle_soundness.py),
         # and the verify stage is exact 3-gram Jaccard — so the output
         # equals DuckDB's brute-force all-pairs computation.
+        "roundtrip_general": (
+            "SELECT lang, count(*) AS n_docs,"
+            " CAST(sum(len(string_split(text, ' '))) AS BIGINT)"
+            "  AS total_words,"
+            " CAST(sum(list_aggregate(list_transform(string_split(text, ' '),"
+            "  w -> length(w)), 'sum')) AS BIGINT) AS total_word_chars,"
+            " CAST(max(2000 + n_chars % 25) AS INT) AS max_year"
+            " FROM documents"
+            " WHERE (2000 + n_chars % 25) BETWEEN 2005 AND 2015"
+            " AND lang IN ('en', 'de')"
+            " GROUP BY lang"
+        ),
         "roundtrip_token_pruned": (
             "SELECT source, count(*) AS n_docs,"
             " CAST(sum(len(string_split(text, ' '))) AS BIGINT)"

@@ -164,16 +164,43 @@ def _manifest_files(spark, out_dir: str, part_ids: list[int] | None) -> list[str
 
 def _stat_pruned_work(spark, out_dir: str, part_ids, doc_id_range,
                       n_tok_range, source_in=None, token_range=None):
+    """Legacy token-table wrapper over :func:`_stat_pruned_specs`."""
+    range_specs = []
+    if doc_id_range is not None:
+        range_specs.append(("doc_id", doc_id_range[0], doc_id_range[1], "string"))
+    if n_tok_range is not None:
+        range_specs.append(("n_tok", n_tok_range[0], n_tok_range[1], "int"))
+    if token_range is not None:
+        range_specs.append(
+            ("token_values", token_range[0], token_range[1], "long")
+        )
+    isin_specs = (
+        [("source", list(source_in), "string")] if source_in is not None else []
+    )
+    return _stat_pruned_specs(spark, out_dir, part_ids, range_specs, isin_specs)
+
+
+def _stat_pruned_specs(spark, out_dir: str, part_ids, range_specs,
+                       isin_specs):
     """Zone-map pruning: (file, [chunk_ids]) for chunks whose recorded
-    per-column min/max intersects the predicate — the ORC column-statistics
-    analog, answered entirely from the payload-pruned manifest.  Returns
-    None when the store predates stats recording (decode everything)."""
+    per-column min/max intersects the predicates — the ORC column-statistics
+    analog, answered entirely from the payload-pruned manifest, for ANY
+    physical stat column (round 4: generic over the store schema, not just
+    the token-table specials).
+
+    ``range_specs``: (phys_col, lo, hi, cast) — chunk survives when its
+    [min, max] intersects [lo, hi] (either bound None).  ``isin_specs``:
+    (phys_col, values, cast) — chunk survives when some wanted value lies
+    within its range.  Returns None when there are no specs or the store
+    predates stats recording (decode everything)."""
     import os
 
     from pyspark.sql import functions as F
 
     from .encode import _has_parquet
 
+    if not range_specs and not isin_specs:
+        return None
     mdir = os.path.join(out_dir, "manifest", "chunks")
     if not _has_parquet(spark, mdir):
         return None
@@ -183,49 +210,33 @@ def _stat_pruned_work(spark, out_dir: str, part_ids, doc_id_range,
     if part_ids is not None:
         m = m.where(F.col("part_id").isin([int(p) for p in part_ids]))
 
-    def survivors(col_name, lo, hi, cast):
-        rows = m.where(F.col("col") == col_name).select(
+    def stat_rows(col_name, cast):
+        return m.where(F.col("col") == col_name).select(
             "chunk_id",
             F.get_json_object("stats", "$.min").cast(cast).alias("mn"),
             F.get_json_object("stats", "$.max").cast(cast).alias("mx"),
         )
+
+    kept = None
+    for col_name, lo, hi, cast in range_specs:
+        rows = stat_rows(col_name, cast)
         cond = F.lit(True)
         if lo is not None:
             cond = cond & (F.col("mx") >= F.lit(lo))
         if hi is not None:
             cond = cond & (F.col("mn") <= F.lit(hi))
         # stat-less chunk (NULL min): conservative keep
-        return rows.where(F.col("mn").isNull() | cond).select("chunk_id")
-
-    kept = None
-    if doc_id_range is not None:
-        kept = survivors("doc_id", doc_id_range[0], doc_id_range[1], "string")
-    if n_tok_range is not None:
-        s = survivors("n_tok", n_tok_range[0], n_tok_range[1], "int")
+        s = rows.where(F.col("mn").isNull() | cond).select("chunk_id")
         kept = s if kept is None else kept.intersect(s)
-    if token_range is not None:
-        # containment predicate over the flattened token VALUES: a chunk can
-        # hold a row containing some token in [lo, hi] only if its recorded
-        # token_values [min, max] intersects the range — the zone maps
-        # encode has always written (encode.py token_values stats) finally
-        # answering a vocabulary-range scan without reading everything
-        s = survivors("token_values", token_range[0], token_range[1], "long")
-        kept = s if kept is None else kept.intersect(s)
-    if source_in is not None:
+    for col_name, values, cast in isin_specs:
         # membership against a [min,max] zone map: a chunk can only hold a
-        # wanted source value if some v ∈ source_in lies within its range
-        rows = m.where(F.col("col") == "source").select(
-            "chunk_id",
-            F.get_json_object("stats", "$.min").alias("mn"),
-            F.get_json_object("stats", "$.max").alias("mx"),
-        )
+        # wanted value if some v ∈ values lies within its range
+        rows = stat_rows(col_name, cast)
         cond = F.lit(False)
-        for v in source_in:
+        for v in values:
             cond = cond | ((F.col("mn") <= F.lit(v)) & (F.col("mx") >= F.lit(v)))
         s = rows.where(F.col("mn").isNull() | cond).select("chunk_id")
         kept = s if kept is None else kept.intersect(s)
-    if kept is None:
-        return None
     pairs = (
         m.join(kept, "chunk_id")
         .select("file", "chunk_id")
@@ -242,7 +253,9 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
            doc_id_range: tuple | None = None,
            n_tok_range: tuple | None = None,
            source_in: list[str] | None = None,
-           token_range: tuple | None = None):
+           token_range: tuple | None = None,
+           ranges: dict | None = None,
+           isin: dict | None = None):
     """Distributed decode: chunk rows → token-table DataFrame.
 
     ``mode="files"`` (default, the scale path): one task per encoded chunk
@@ -277,6 +290,14 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
     "find sequences containing token ids ≥ 100k").  Pruned through the
     per-chunk token_values min/max zone maps, then filtered exactly with
     ``exists(tokens, ...)``.
+
+    ``ranges`` / ``isin`` (round 4) are the GENERIC forms for any column of
+    the store's schema: ``ranges={"year": (2010, 2019), "lang": ("de",
+    "en")}``, ``isin={"lang": ["en", "fr"]}``.  Scalar columns filter by
+    value; list columns get the containment semantics over their flattened
+    values.  Every predicate both prunes chunks through the recorded zone
+    maps and filters the surviving rows exactly.  The token-table named
+    parameters above are sugar for these.
     """
     import json as _json
     import os
@@ -315,6 +336,49 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
             raise TypeError("token_range bounds must be ints (or None)")
         if all(b is None for b in token_range):
             raise ValueError("token_range needs at least one bound")
+    # generic dict predicates (validated against the store schema), then the
+    # legacy token-table named parameters merged in as sugar
+    ranges = dict(ranges or {})
+    isin = dict(isin or {})
+    for colname, rng in ranges.items():
+        if colname not in kinds:
+            raise ValueError(
+                f"ranges column {colname!r} not in store schema {order}"
+            )
+        if not isinstance(rng, (tuple, list)) or len(rng) != 2:
+            raise TypeError(f"ranges[{colname!r}] must be a (lo, hi) pair")
+        want = str if kinds[colname] == "str" else int
+        if any(b is not None and not isinstance(b, want) for b in rng):
+            raise TypeError(
+                f"ranges[{colname!r}] bounds must be {want.__name__} (or None)"
+            )
+        if all(b is None for b in rng):
+            raise ValueError(f"ranges[{colname!r}] needs at least one bound")
+    for colname, vals in isin.items():
+        if colname not in kinds:
+            raise ValueError(
+                f"isin column {colname!r} not in store schema {order}"
+            )
+        if kinds[colname].startswith("list"):
+            raise ValueError(
+                f"isin is not supported on list column {colname!r}; use a "
+                "ranges containment predicate"
+            )
+        want = str if kinds[colname] == "str" else int
+        if not vals or any(not isinstance(v, want) for v in vals):
+            raise TypeError(
+                f"isin[{colname!r}] must be a non-empty list of {want.__name__}"
+            )
+    for colname, rng in (("doc_id", doc_id_range), ("n_tok", n_tok_range),
+                         ("tokens", token_range)):
+        if rng is not None:
+            if colname in ranges:
+                raise ValueError(f"duplicate predicate on {colname!r}")
+            ranges[colname] = (rng[0], rng[1])
+    if source_in is not None:
+        if "source" in isin:
+            raise ValueError("duplicate predicate on 'source'")
+        isin["source"] = list(source_in)
     if source_in is not None:
         if not source_in or any(not isinstance(v, str) for v in source_in):
             raise TypeError("source_in must be a non-empty list of strings")
@@ -334,30 +398,35 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
             raise ValueError("source_in requires 'source' in columns")
         if token_range is not None and "tokens" not in columns:
             raise ValueError("token_range requires 'tokens' in columns")
+        for colname in set(ranges) | set(isin):
+            if colname not in columns:
+                raise ValueError(
+                    f"predicate on {colname!r} requires it in columns"
+                )
         columns = [c for c in order if c in set(columns)]
     ddl = _select_ddl(columns if columns is not None else order, schema)
 
+    def _containment(lo, hi):
+        # closure factory, NOT default args: Spark reads the lambda's arity
+        # to type the higher-order function, so extra bound params break it
+        def pred(t):
+            if lo is not None and hi is not None:
+                return (t >= F.lit(lo)) & (t <= F.lit(hi))
+            return (t >= F.lit(lo)) if lo is not None else (t <= F.lit(hi))
+
+        return pred
+
     def exact_filter(df):
-        for col, rng in (("doc_id", doc_id_range), ("n_tok", n_tok_range)):
-            if rng is not None:
-                lo, hi = rng
+        for colname, (lo, hi) in ranges.items():
+            if kinds[colname].startswith("list"):
+                df = df.where(F.exists(colname, _containment(lo, hi)))
+            else:
                 if lo is not None:
-                    df = df.where(F.col(col) >= F.lit(lo))
+                    df = df.where(F.col(colname) >= F.lit(lo))
                 if hi is not None:
-                    df = df.where(F.col(col) <= F.lit(hi))
-        if source_in is not None:
-            df = df.where(F.col("source").isin(list(source_in)))
-        if token_range is not None:
-            lo, hi = token_range
-            df = df.where(F.exists(
-                "tokens",
-                lambda t: (
-                    (t >= F.lit(lo)) & (t <= F.lit(hi))
-                    if lo is not None and hi is not None
-                    else (t >= F.lit(lo)) if lo is not None
-                    else (t <= F.lit(hi))
-                ),
-            ))
+                    df = df.where(F.col(colname) <= F.lit(hi))
+        for colname, vals in isin.items():
+            df = df.where(F.col(colname).isin(list(vals)))
         return df
 
     chunks_dir = os.path.join(out_dir, "chunks")
@@ -378,12 +447,24 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
             chunks.groupBy("chunk_id").applyInArrow(decode_group, ddl)
         )
 
+    def _cast_of(kind: str) -> str:
+        if kind == "str":
+            return "string"
+        return "long" if kind in ("int64", "list32", "list64") else "int"
+
+    range_specs = []
+    for colname, (lo, hi) in ranges.items():
+        kind = kinds[colname]
+        phys = list_payload_names(colname)[0] if kind.startswith("list") \
+            else colname
+        range_specs.append((phys, lo, hi, _cast_of(kind)))
+    isin_specs = [
+        (c, list(v), _cast_of(kinds[c])) for c, v in isin.items()
+    ]
     work_rows = None
-    if (doc_id_range is not None or n_tok_range is not None
-            or source_in is not None or token_range is not None):
-        pruned = _stat_pruned_work(
-            spark, out_dir, part_ids, doc_id_range, n_tok_range, source_in,
-            token_range,
+    if range_specs or isin_specs:
+        pruned = _stat_pruned_specs(
+            spark, out_dir, part_ids, range_specs, isin_specs
         )
         if pruned is not None:
             work_rows = [(f, _json.dumps(cids)) for f, cids in pruned]

@@ -168,3 +168,88 @@ def test_token_store_plan_records_default_schema(spark, tmp_path):
     cols = {r["col"] for r in
             spark.read.parquet(out + "/manifest/chunks").collect()}
     assert cols == {"doc_id", "source", "n_tok", "token_values", "offsets"}
+
+
+def test_generic_zone_map_predicates(spark, store):
+    """Round-4 generic ranges=/isin= predicates over ANY schema column:
+    exact row filtering + zone-map chunk pruning, same machinery the
+    token-table named parameters sugar over."""
+    _, out, tbl = store
+
+    years = tbl["year"].to_pylist()
+    langs = tbl["lang"].to_pylist()
+    uids = tbl["uid"].to_pylist()
+
+    got = decode(spark, out, ranges={"year": (2010, 2012)}).collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(
+        f"doc-{i:05d}" for i in range(N) if 2010 <= years[i] <= 2012
+    )
+
+    got2 = decode(spark, out, isin={"lang": ["de"]}).collect()
+    assert {r["lang"] for r in got2} == {"de"}
+    assert len(got2) == sum(1 for x in langs if x == "de")
+
+    lo = uids[100]
+    got3 = decode(spark, out, ranges={"uid": (lo, None)}).collect()
+    assert len(got3) == sum(1 for u in uids if u >= lo)
+
+    # combined predicates intersect
+    got4 = decode(
+        spark, out, ranges={"year": (2010, 2012)}, isin={"lang": ["de"]}
+    ).collect()
+    assert len(got4) == sum(
+        1 for i in range(N) if 2010 <= years[i] <= 2012 and langs[i] == "de"
+    )
+
+    # list column containment via the generic form
+    spans = tbl["spans"].to_pylist()
+    thr = 1 << 39
+    got5 = decode(spark, out, ranges={"spans": (thr, None)}).collect()
+    assert sorted(r["doc_id"] for r in got5) == sorted(
+        f"doc-{i:05d}" for i in range(N) if any(v >= thr for v in spans[i])
+    )
+
+
+def test_generic_predicate_validation(spark, store):
+    _, out, _ = store
+    with pytest.raises(ValueError, match="not in store schema"):
+        decode(spark, out, ranges={"nope": (1, 2)})
+    with pytest.raises(ValueError, match="not supported on list column"):
+        decode(spark, out, isin={"spans": [1]})
+    with pytest.raises(TypeError, match="bounds must be str"):
+        decode(spark, out, ranges={"lang": (1, 2)})
+    with pytest.raises(TypeError, match="bounds must be int"):
+        decode(spark, out, ranges={"year": ("a", None)})
+    with pytest.raises(ValueError, match="needs at least one bound"):
+        decode(spark, out, ranges={"year": (None, None)})
+    with pytest.raises(ValueError, match="requires it in columns"):
+        decode(spark, out, columns=["doc_id"], ranges={"year": (1, None)})
+    with pytest.raises(TypeError, match="non-empty list"):
+        decode(spark, out, isin={"lang": []})
+
+
+def test_generic_equals_legacy_sugar(spark, tmp_path):
+    """ranges={'tokens': ...} must equal token_range=... (and prune)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    src = str(tmp_path / "t.parquet")
+    tbl = pa.table({
+        "doc_id": [f"d{i:03d}" for i in range(60)],
+        "tokens": pa.array(
+            [[(1000 if i >= 30 else 1) + i] * 2 for i in range(60)],
+            type=pa.list_(pa.int32()),
+        ),
+        "n_tok": pa.array([2] * 60, type=pa.int32()),
+        "source": ["s"] * 60,
+    })
+    pq.write_table(tbl, src)
+    out = str(tmp_path / "store")
+    encode(spark, src, out, n_partitions=2)
+    a = sorted(r["doc_id"] for r in
+               decode(spark, out, token_range=(900, None)).collect())
+    b = sorted(r["doc_id"] for r in
+               decode(spark, out, ranges={"tokens": (900, None)}).collect())
+    assert a == b == [f"d{i:03d}" for i in range(30, 60)]
+    with pytest.raises(ValueError, match="duplicate predicate"):
+        decode(spark, out, token_range=(1, None), ranges={"tokens": (1, None)})
