@@ -253,3 +253,41 @@ def test_generic_equals_legacy_sugar(spark, tmp_path):
     assert a == b == [f"d{i:03d}" for i in range(30, 60)]
     with pytest.raises(ValueError, match="duplicate predicate"):
         decode(spark, out, token_range=(1, None), ranges={"tokens": (1, None)})
+
+
+def test_shuffle_mode_decode_general_schema(spark, store):
+    """mode="shuffle" (the non-file-addressable fallback) must honor the
+    store schema and the generic predicates too."""
+    _, out, tbl = store
+    years = tbl["year"].to_pylist()
+    got = decode(
+        spark, out, mode="shuffle", ranges={"year": (2010, 2012)}
+    ).collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(
+        f"doc-{i:05d}" for i in range(N) if 2010 <= years[i] <= 2012
+    )
+    assert [f.name for f in
+            decode(spark, out, mode="shuffle").schema.fields] == [
+        "doc_id", "tokens", "n_tok", "source", "lang", "year", "uid", "spans",
+    ]
+
+
+def test_plan_hook_derives_schema_from_unit_paths(spark, tmp_path):
+    """encode(plan=...) with input_path=None (the Iceberg-manifest hook)
+    must derive the schema from the first unit's own file footer."""
+    import pyarrow.parquet as pqq
+
+    src = str(tmp_path / "g.parquet")
+    pqq.write_table(_six_col_table(), src)
+    md = pqq.read_metadata(src)
+    units = [[src, i, 0, md.row_group(i).num_rows]
+             for i in range(md.num_row_groups)]
+    plan = {"mode": "rowgroup", "n_total": 1, "parts": [units]}
+    out = str(tmp_path / "store")
+    encode(spark, out_dir=out, plan=plan)
+    assert store_schema(spark, out) == [
+        ("doc_id", "str"), ("tokens", "list32"), ("n_tok", "int32"),
+        ("source", "str"), ("lang", "str"), ("year", "int32"),
+        ("uid", "int64"), ("spans", "list64"),
+    ]
+    assert decode(spark, out).count() == N
