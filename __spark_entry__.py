@@ -480,6 +480,36 @@ def _q_minhash_verified(spark, sf):  # full candidate→verify dedup pipeline
     )
 
 
+def _q_dup_clusters(spark, sf):
+    """Near-duplicate CLUSTERS — the operator a dedup pipeline actually
+    consumes (keep each cluster's representative, drop the rest): MinHash
+    LSH candidates → exact n-gram Jaccard verify → connected components
+    (min-label propagation + pointer jumping).  Oracled: the verified edge
+    set equals DuckDB's brute-force pairs (recall-1.0 candidates, see
+    _q_minhash_verified), and the component labeling is reproduced in SQL
+    with a recursive CTE — both sides assign rep = lexicographic-min id."""
+    from clj_orc_spark.operators import (
+        duplicate_clusters,
+        minhash_lsh,
+        ngram_jaccard_pairs,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .where(F.col("doc_id") < 500)
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    )
+    cand = minhash_lsh(
+        docs, threshold=0.35, num_perm=64, bands=32
+    ).select("id_a", "id_b")
+    verified = (
+        ngram_jaccard_pairs(docs, cand, n=3)
+        .where(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    return duplicate_clusters(verified).orderBy("id")
+
+
 def _q_simhash_dedup(spark, sf):  # SimHash near-dup pairs (rows-only)
     from clj_orc_spark.operators import simhash_candidates
 
@@ -517,6 +547,21 @@ def _q_ivf_ann(spark, sf):  # IVF approximate nearest neighbors (rows-only)
         shutil.rmtree(idx, ignore_errors=True)
         build_ivf_index(base, idx, n_centroids=8, n_rows=base.count())
     return ivf_topk(None, list(q), k=10, n_probe=4, index_path=idx, spark=spark)
+
+
+def _q_repetition_stats(spark, sf):  # repetition quality signals (round 4)
+    from clj_orc_spark.operators import repetition_stats
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        repetition_stats(docs)
+        .groupBy("source")
+        .agg(
+            F.round(F.avg("rep.dup_word_frac"), 6).alias("avg_dup_word_frac"),
+            F.round(F.avg("rep.dup_bigram_frac"), 6).alias("avg_dup_bigram_frac"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
 
 
 def _q_quality_filter(spark, sf):  # composite quality scoring (rows-only)
@@ -739,9 +784,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": _shipped(_q_token_count_bpe),
         "minhash_dedup": _shipped(_q_minhash_dedup),
         "minhash_verified": _shipped(_q_minhash_verified),
+        "dup_clusters": _shipped(_q_dup_clusters),
         "simhash_dedup": _shipped(_q_simhash_dedup),
         "lang_id": _shipped(_q_lang_id),
         "ivf_ann": _shipped(_q_ivf_ann),
+        "repetition_stats": _shipped(_q_repetition_stats),
         "quality_filter": _shipped(_q_quality_filter),
         "encode_roundtrip": _shipped(_q_encode_roundtrip),
         "roundtrip_sql": _shipped(_q_roundtrip_sql),
@@ -886,6 +933,33 @@ def oracle_sql() -> dict[str, str]:
             "  FROM g a, g b WHERE a.id < b.id)"
             " WHERE jaccard >= 0.5"
         ),
+        # dup_clusters: connected components over the recall-1.0 verified
+        # edge set — transitive closure via recursive CTE; rep = min id
+        # (lexicographic on both sides: Spark F.min(string) and DuckDB
+        # min(varchar) agree).
+        "dup_clusters": (
+            "WITH RECURSIVE gset AS ("
+            "  SELECT CAST(doc_id AS VARCHAR) AS id,"
+            "    list_distinct([array_to_string(ws[i:i+2], ' ')"
+            "      for i in range(1, greatest(len(ws)-2, 1)+1)]) AS grams"
+            "  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws"
+            "        FROM documents WHERE doc_id < 500)),"
+            " p AS (SELECT id_a, id_b FROM ("
+            "  SELECT a.id AS id_a, b.id AS id_b,"
+            "    round(len(list_intersect(a.grams, b.grams)) * 1.0 /"
+            "          greatest(len(list_distinct(a.grams || b.grams)), 1), 4)"
+            "     AS jaccard"
+            "  FROM gset a, gset b WHERE a.id < b.id)"
+            "  WHERE jaccard >= 0.5),"
+            " e AS (SELECT id_a AS a, id_b AS b FROM p"
+            "       UNION SELECT id_b AS a, id_a AS b FROM p),"
+            " reach AS (SELECT a, b FROM e"
+            "  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)"
+            " SELECT id, min(r) AS rep FROM ("
+            "  SELECT a AS id, b AS r FROM reach"
+            "  UNION ALL SELECT DISTINCT a AS id, a AS r FROM e)"
+            " GROUP BY id ORDER BY id"
+        ),
         # embed_near_dup_lsh: exact-cosine verify + recall-1.0 banding on
         # the deterministic vec_id<500 slice (see _q_embed_near_dup_lsh) →
         # equals the exact O(n²) baseline on the same slice.
@@ -1007,6 +1081,26 @@ def oracle_sql() -> dict[str, str]:
             "   ELSE 'es' END AS lang_pred,"
             "  count(*) AS cnt"
             " FROM sc GROUP BY lang, lang_pred"
+        ),
+        # repetition_stats mirrors operators/textstats.py:repetition_features
+        # — per-row rounded dup fractions over words and word-bigrams
+        # (DuckDB inclusive list slices: ws[i:i+1] is the 2-element bigram).
+        "repetition_stats": (
+            "SELECT source, round(avg(dw), 6) AS avg_dup_word_frac,"
+            " round(avg(db), 6) AS avg_dup_bigram_frac,"
+            " count(*) AS n_docs FROM ("
+            "  SELECT source,"
+            "   round((len(ws) - len(list_distinct(ws))) * 1.0 /"
+            "    greatest(len(ws), 1), 4) AS dw,"
+            "   round((len(bs) - len(list_distinct(bs))) * 1.0 /"
+            "    greatest(len(bs), 1), 4) AS db"
+            "  FROM (SELECT source, ws,"
+            "    [array_to_string(ws[i:i+1], ' ')"
+            "     for i in range(1, greatest(len(ws)-1, 1)+1)] AS bs"
+            "   FROM (SELECT source,"
+            "     string_split_regex(trim(text), '\\s+') AS ws"
+            "    FROM documents)))"
+            " GROUP BY source"
         ),
         # quality_filter mirrors operators/textstats.py:quality_score —
         # per-row rounded composite score, averaged per source.

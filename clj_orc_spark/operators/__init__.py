@@ -3,6 +3,7 @@ multimodal plumbing — the large-scale operations a 100 TB token pipeline
 needs alongside the encode engine."""
 
 from .dedup import (  # noqa: F401
+    duplicate_clusters,
     exact_dedup,
     minhash_lsh,
     minhash_signatures,
@@ -24,5 +25,6 @@ from .textstats import (  # noqa: F401
     fingerprint,
     language_id,
     quality_score,
+    repetition_stats,
     token_count,
 )

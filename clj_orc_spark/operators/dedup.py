@@ -405,6 +405,80 @@ def simhash_candidates(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate PAIRS → ``(id, rep)`` with
+    ``rep`` = the minimum id of the component — what a dedup pipeline
+    actually consumes (keep ``rep``, drop the rest of each cluster).
+
+    Min-label propagation with pointer jumping: each round takes the min
+    label over neighbors, then short-circuits ``rep := rep(rep)``, so
+    convergence is O(log diameter) rounds — near-dup graphs are
+    boilerplate-chain shaped, diameters are tiny, and every round is two
+    hash joins on (id, rep) pairs only (never text).  Deterministic:
+    fixpoint checked by an order-insensitive xxhash64 digest.  Raises if
+    ``max_iters`` rounds do not converge (a pathological graph should be
+    loud, not silently half-clustered)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("rep", F.col("id"))
+        .localCheckpoint()
+    )
+
+    def digest(df):
+        # order-insensitive fixpoint fingerprint; bit_xor never overflows
+        # (ANSI mode makes a sum of hashes throw on long overflow)
+        row = df.agg(
+            F.expr("bit_xor(xxhash64(id, rep))").alias("x"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        return (row["x"], row["n"])
+
+    prev = digest(labels)
+    for _ in range(max_iters):
+        nmin = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src").agg(F.min("rep").alias("nmin"))
+        )
+        stepped = (
+            labels.join(nmin, labels.id == nmin.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("rep"), F.coalesce(F.col("nmin"), F.col("rep"))
+                ).alias("rep"),
+            )
+        )
+        # pointer jumping: rep := rep(rep) — halves chain depth per round
+        rep_of = stepped.select(
+            F.col("id").alias("rid"), F.col("rep").alias("rrep")
+        )
+        labels = (
+            stepped.join(rep_of, stepped.rep == rep_of.rid, "left")
+            .select(
+                "id",
+                F.coalesce(F.col("rrep"), F.col("rep")).alias("rep"),
+            )
+            .localCheckpoint()  # cut lineage: iterative plans otherwise
+        )  # grow exponentially and re-execute every prior round
+        cur = digest(labels)
+        if cur == prev:
+            return labels
+        prev = cur
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iters} rounds"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, pairs: DataFrame, text_col: str = "text",
     id_col: str = "doc_id", n: int = 3,

@@ -99,3 +99,35 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_exact", F.xxhash64(F.col(text_col))).withColumn(
         "fp_norm", F.xxhash64(F.trim(norm))
     )
+
+
+def repetition_features(text: Column) -> Column:
+    """Repetition quality signals (round 4): the fraction of non-unique
+    words and non-unique word-bigrams — the standard cheap detector for
+    degenerate/looping documents in training-data filtering.  Pure codegen
+    array expressions (case-sensitive words: repetition is about literal
+    repeats, not vocabulary)."""
+    ws = F.split(F.trim(text), r"\s+")
+    n_w = F.size(ws)
+    dup_w = F.round(
+        (n_w - F.size(F.array_distinct(ws)))
+        / F.greatest(n_w, F.lit(1)), 4,
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_w - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 2)),
+    )
+    n_b = F.size(bigrams)
+    dup_b = F.round(
+        (n_b - F.size(F.array_distinct(bigrams)))
+        / F.greatest(n_b, F.lit(1)), 4,
+    )
+    return F.struct(
+        dup_w.alias("dup_word_frac"),
+        dup_b.alias("dup_bigram_frac"),
+        n_w.alias("n_words"),
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("rep", repetition_features(F.col(text_col)))

@@ -294,3 +294,33 @@ def test_patched_for_recursive_base_roundtrip():
     # int64 path too
     p64, m64 = PatchedFor.encode(vals.astype(np.int64))
     assert np.array_equal(PatchedFor.decode(p64, m64), vals.astype(np.int64))
+
+
+def test_duplicate_clusters_connected_components(spark):
+    """duplicate_clusters must label every member of a component with the
+    component's minimum id — including long chains (pointer jumping)."""
+    from clj_orc_spark.operators import duplicate_clusters
+
+    chain = [(f"c{i:02d}", f"c{i+1:02d}") for i in range(20)]  # 21-node chain
+    pairs = chain + [("b1", "b2"), ("b2", "b3"), ("a9", "a1")]
+    df = spark.createDataFrame(pairs, "id_a string, id_b string")
+    got = {r["id"]: r["rep"] for r in duplicate_clusters(df).collect()}
+    assert len(got) == 21 + 3 + 2
+    assert all(got[f"c{i:02d}"] == "c00" for i in range(21))
+    assert got["b1"] == got["b2"] == got["b3"] == "b1"
+    assert got["a9"] == got["a1"] == "a1"
+
+
+def test_repetition_features(spark):
+    from clj_orc_spark.operators import repetition_stats
+
+    df = spark.createDataFrame(
+        [("a", "spam spam spam spam"), ("b", "all words here differ")],
+        "doc_id string, text string",
+    )
+    r = {x["doc_id"]: x["rep"] for x in repetition_stats(df).collect()}
+    assert r["a"]["dup_word_frac"] == 0.75
+    assert r["a"]["dup_bigram_frac"] == 0.6667
+    assert r["b"]["dup_word_frac"] == 0.0
+    assert r["b"]["dup_bigram_frac"] == 0.0
+    assert r["a"]["n_words"] == r["b"]["n_words"] == 4
