@@ -360,8 +360,11 @@ def _q_embed_near_dup(spark, sf):  # embedding-cosine near-dup pairs
     from clj_orc_spark.operators import cosine_near_dups_lsh
 
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    # max_bucket=2500 keeps the r=1 buckets alive at sf0.1 (~1000 members)
+    # too, so the query is non-degenerate at bench scale; at the oracle's
+    # sf0.01 the ~250-member buckets clear any of these caps
     return cosine_near_dups_lsh(
-        emb, threshold=0.38, n_planes=16, bands=16, max_bucket=600
+        emb, threshold=0.38, n_planes=16, bands=16, max_bucket=2500
     )
 
 

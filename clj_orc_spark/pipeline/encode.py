@@ -397,8 +397,19 @@ def _rowgroup_plan(files: list[str], n_partitions: int,
     import pyarrow.parquet as pq
 
     units: list[tuple[float, str, int, int, int]] = []  # weight,f,rg,lo,hi
+    ref_schema = ref_file = None
     for f in files:
         md = pq.read_metadata(f, filesystem=fs)
+        # plan-time schema homogeneity (footers are read here anyway): a
+        # stray file with a different schema would otherwise fail mid-encode
+        # in whichever task drew it, with half the store already written
+        if ref_schema is None:
+            ref_schema, ref_file = md.schema, f
+        elif not md.schema.equals(ref_schema):
+            raise ValueError(
+                f"input files disagree on schema: {f!r} differs from "
+                f"{ref_file!r} — encode one homogeneous dataset per store"
+            )
         for i in range(md.num_row_groups):
             rg = md.row_group(i)
             units.append((float(rg.total_byte_size), f, i, 0, rg.num_rows))

@@ -291,3 +291,14 @@ def test_plan_hook_derives_schema_from_unit_paths(spark, tmp_path):
         ("uid", "int64"), ("spans", "list64"),
     ]
     assert decode(spark, out).count() == N
+
+
+def test_mixed_schema_inputs_rejected_at_plan_time(spark, tmp_path):
+    src = tmp_path / "mix"
+    src.mkdir()
+    pq.write_table(_six_col_table(), str(src / "a.parquet"))
+    pq.write_table(
+        pa.table({"doc_id": ["x"], "other": [1]}), str(src / "b.parquet")
+    )
+    with pytest.raises(ValueError, match="disagree on schema"):
+        encode(spark, str(src), str(tmp_path / "store"), n_partitions=2)
