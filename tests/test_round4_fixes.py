@@ -324,3 +324,46 @@ def test_repetition_features(spark):
     assert r["b"]["dup_word_frac"] == 0.0
     assert r["b"]["dup_bigram_frac"] == 0.0
     assert r["a"]["n_words"] == r["b"]["n_words"] == 4
+
+
+def test_duplicate_clusters_random_graphs_match_union_find(spark):
+    """Distributed components must equal a driver-side union-find on random
+    graphs (seeded) — including forests, cliques, and isolated pairs."""
+    import numpy as np
+
+    from clj_orc_spark.operators import duplicate_clusters
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = 60
+        edges = [
+            (f"n{a:02d}", f"n{b:02d}")
+            for a, b in rng.integers(0, n, (40, 2)) if a != b
+        ]
+        if not edges:
+            continue
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {x: find(x) for x in parent}
+
+        df = spark.createDataFrame(edges, "id_a string, id_b string")
+        got = {r["id"]: r["rep"] for r in duplicate_clusters(df).collect()}
+        assert got == expected, f"seed={seed}"
+
+
+def test_duplicate_clusters_empty(spark):
+    from clj_orc_spark.operators import duplicate_clusters
+
+    empty = spark.createDataFrame([], "id_a string, id_b string")
+    assert duplicate_clusters(empty).count() == 0
