@@ -41,10 +41,14 @@ def stream_decode(
     micro-batch groups its complete chunks and appends decoded token rows to
     ``sink_dir`` as parquet.
     """
-    from ..pipeline.decode import TOKEN_DDL, decode_chunk_table
+    from ..pipeline.decode import _select_ddl, decode_chunk_table, store_schema
 
     chunks_dir = os.path.join(out_dir, "chunks")
     static_schema = spark.read.parquet(chunks_dir).schema
+    # honor the store's pinned schema descriptor (round 4: stores may hold
+    # ANY flat schema, not just the token table)
+    schema = store_schema(spark, out_dir)
+    ddl = _select_ddl([name for name, _ in schema], schema)
 
     stream = (
         spark.readStream.schema(static_schema)
@@ -56,9 +60,9 @@ def stream_decode(
         import pyarrow as pa
 
         def decode_group(tbl: pa.Table) -> pa.Table:
-            return decode_chunk_table(tbl)
+            return decode_chunk_table(tbl, None, schema)
 
-        decoded = batch_df.groupBy("chunk_id").applyInArrow(decode_group, TOKEN_DDL)
+        decoded = batch_df.groupBy("chunk_id").applyInArrow(decode_group, ddl)
         decoded.write.mode("append").parquet(sink_dir)
 
     writer = (

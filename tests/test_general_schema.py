@@ -302,3 +302,21 @@ def test_mixed_schema_inputs_rejected_at_plan_time(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="disagree on schema"):
         encode(spark, str(src), str(tmp_path / "store"), n_partitions=2)
+
+
+def test_stream_decode_general_schema(spark, store, tmp_path):
+    """Structured-Streaming chunk decode honors the store's pinned schema."""
+    from clj_orc_spark.streaming import stream_decode
+
+    _, out, tbl = store
+    sink = str(tmp_path / "sink")
+    q = stream_decode(spark, out, sink)
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    assert sorted(f.name for f in got.schema.fields) == sorted(
+        ["doc_id", "tokens", "n_tok", "source", "lang", "year", "uid", "spans"]
+    )
+    assert got.count() == N
+    row = got.where(got.doc_id == "doc-00007").first()
+    assert row["spans"] == tbl["spans"][7].as_py()
+    assert row["uid"] == tbl["uid"][7].as_py()
