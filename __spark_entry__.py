@@ -50,7 +50,9 @@ def _gc_stale_tmp(spark: SparkSession) -> None:
     ):
         for d in glob.glob(pattern):
             try:
-                if d.endswith(app_id) or os.path.getmtime(d) > cutoff:
+                # substring, not endswith: the general-roundtrip dirs carry
+                # "-src"/"-store" suffixes AFTER the application id
+                if app_id in os.path.basename(d) or os.path.getmtime(d) > cutoff:
                     continue
                 shutil.rmtree(d, ignore_errors=True)
             except OSError:
@@ -360,11 +362,16 @@ def _q_embed_near_dup(spark, sf):  # embedding-cosine near-dup pairs
     from clj_orc_spark.operators import cosine_near_dups_lsh
 
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-    # max_bucket=2500 keeps the r=1 buckets alive at sf0.1 (~1000 members)
-    # too, so the query is non-degenerate at bench scale; at the oracle's
-    # sf0.01 the ~250-member buckets clear any of these caps
+    # r=1 band hashes split the table into ~2 buckets of ~n/2 members per
+    # band, so a FIXED cap silently empties the query once n/2 outgrows it
+    # (round-4 review finding).  Size the cap from the actual table — cheap
+    # (footer count) and keeps the recall-1.0 property at every sf the
+    # driver can point at; the recall-traded bounded-bucket configuration
+    # is the separate `embed_near_dup_lsh_scale` query.
+    n = emb.count()
     return cosine_near_dups_lsh(
-        emb, threshold=0.38, n_planes=16, bands=16, max_bucket=2500
+        emb, threshold=0.38, n_planes=16, bands=16,
+        max_bucket=max(600, n // 2 + 64),
     )
 
 

@@ -265,7 +265,9 @@ def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1),
     )
     chroma = b""
     if colorspace != b"mono":
-        if colorspace not in _Y4M_FRAME_FACTOR or colorspace == b"444":
+        if not colorspace.startswith(b"420"):
+            # 422/444 chroma planes are differently sized — writing the
+            # 420-sized padding would produce a stream decode rejects
             raise NotImplementedError("encode supports mono and 420 flavors")
         chroma = b"\x80" * ((w // 2) * (h // 2) * 2)
     out = [header]

@@ -197,7 +197,8 @@ def load_ivf_index(spark, index_path: str) -> tuple[np.ndarray, dict]:
 def ivf_probe_scan(spark, index_path: str, query_vec, n_probe: int = 4):
     """The pruned scan an indexed IVF query runs: only the ``n_probe``
     probed ``centroid=`` partitions are listed/read (PartitionFilters in the
-    plan — asserted by tests/test_ivf_index.py).  Returns (DataFrame, probes)."""
+    plan — asserted by tests/test_ivf_index.py).  Returns
+    ``(scan_df, probes, index_meta)``."""
     import os
 
     centroids, meta = load_ivf_index(spark, index_path)

@@ -336,10 +336,23 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
             raise TypeError("token_range bounds must be ints (or None)")
         if all(b is None for b in token_range):
             raise ValueError("token_range needs at least one bound")
-    # generic dict predicates (validated against the store schema), then the
-    # legacy token-table named parameters merged in as sugar
+    # generic dict predicates plus the legacy token-table named parameters
+    # merged in as sugar; kind-aware validation runs AFTER the merge so the
+    # legacy sugar is held to the same store-schema typing — e.g.
+    # doc_id_range on a general store whose doc_id is int32 must raise, not
+    # coerce the stats to null and silently prune everything
     ranges = dict(ranges or {})
     isin = dict(isin or {})
+    for colname, rng in (("doc_id", doc_id_range), ("n_tok", n_tok_range),
+                         ("tokens", token_range)):
+        if rng is not None:
+            if colname in ranges:
+                raise ValueError(f"duplicate predicate on {colname!r}")
+            ranges[colname] = (rng[0], rng[1])
+    if source_in is not None:
+        if "source" in isin:
+            raise ValueError("duplicate predicate on 'source'")
+        isin["source"] = list(source_in)
     for colname, rng in ranges.items():
         if colname not in kinds:
             raise ValueError(
@@ -369,16 +382,6 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
             raise TypeError(
                 f"isin[{colname!r}] must be a non-empty list of {want.__name__}"
             )
-    for colname, rng in (("doc_id", doc_id_range), ("n_tok", n_tok_range),
-                         ("tokens", token_range)):
-        if rng is not None:
-            if colname in ranges:
-                raise ValueError(f"duplicate predicate on {colname!r}")
-            ranges[colname] = (rng[0], rng[1])
-    if source_in is not None:
-        if "source" in isin:
-            raise ValueError("duplicate predicate on 'source'")
-        isin["source"] = list(source_in)
     if source_in is not None:
         if not source_in or any(not isinstance(v, str) for v in source_in):
             raise TypeError("source_in must be a non-empty list of strings")

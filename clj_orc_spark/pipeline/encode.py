@@ -159,10 +159,6 @@ def derive_schema(arrow_schema) -> list[tuple[str, str]]:
     return out
 
 
-def _is_default_schema(schema) -> bool:
-    return tuple(map(tuple, schema)) == DEFAULT_SCHEMA
-
-
 def _flatten_list(col, dtype) -> np.ndarray:
     """Flatten per chunk, NOT combine_chunks().flatten(): combining copies
     the whole list column (~2x the chunk's token bytes in memory traffic),
@@ -195,6 +191,16 @@ def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int,
     columns: dict[str, tuple[object, str, int]] = {}
     mm: dict[str, dict] = {}
     for name, kind in schema:
+        # NULL guard (metadata-only check): np.asarray of a nulled Arrow int
+        # array silently yields INT_MIN sentinels, and a null list entry
+        # desynchronizes lengths vs flattened values — either would write a
+        # silently corrupt store.  The engine's schema contract is non-null
+        # (BASELINE input_hint); refuse loudly at the first nulled chunk.
+        if tbl.column(name).null_count:
+            raise ValueError(
+                f"column {name!r} holds NULLs; engine schemas are non-null "
+                "— fill or drop nulls upstream before encoding"
+            )
         if kind == "str":
             col = StringCol.from_arrow(tbl.column(name).combine_chunks())
             columns[name] = (col, "str", 0)

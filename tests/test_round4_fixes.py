@@ -367,3 +367,70 @@ def test_duplicate_clusters_empty(spark):
 
     empty = spark.createDataFrame([], "id_a string, id_b string")
     assert duplicate_clusters(empty).count() == 0
+
+
+# --- round-4 self-review fixes ----------------------------------------------
+
+
+def test_null_columns_rejected_at_encode(spark, tmp_path):
+    """NULLs would silently become INT_MIN sentinels / desynchronized list
+    offsets — encode must refuse loudly (review finding #1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for colname, tbl in (
+        ("n_tok", pa.table({
+            "doc_id": ["a", "b"],
+            "tokens": pa.array([[1], [2]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([1, None], type=pa.int32()),
+            "source": ["s", "s"],
+        })),
+        ("tokens", pa.table({
+            "doc_id": ["a", "b"],
+            "tokens": pa.array([[1], None], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([1, 0], type=pa.int32()),
+            "source": ["s", "s"],
+        })),
+    ):
+        src = str(tmp_path / f"null-{colname}.parquet")
+        pq.write_table(tbl, src)
+        out = str(tmp_path / f"store-{colname}")
+        with pytest.raises(Exception, match="NULL"):
+            encode(spark, src, out, n_partitions=1)
+
+
+def test_legacy_predicate_sugar_is_kind_checked(spark, tmp_path):
+    """Legacy named predicates on a general store whose column kinds differ
+    from the token table must raise, not silently prune (review finding #2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int32()),  # NUMERIC doc ids
+        "tokens": pa.array([[1], [2], [3]], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([1, 1, 1], type=pa.int32()),
+        "source": pa.array([7, 8, 9], type=pa.int32()),  # numeric source
+    })
+    src = str(tmp_path / "numeric.parquet")
+    pq.write_table(tbl, src)
+    out = str(tmp_path / "store")
+    encode(spark, src, out, n_partitions=1)
+    with pytest.raises(TypeError, match="must be int"):
+        decode(spark, out, doc_id_range=("a", "z"))
+    with pytest.raises(TypeError, match="non-empty list of int"):
+        decode(spark, out, source_in=["x"])
+    # correctly-typed predicates on the same columns work
+    assert decode(spark, out, ranges={"doc_id": (2, None)}).count() == 2
+    assert decode(spark, out, isin={"source": [7, 9]}).count() == 2
+
+
+def test_y4m_encode_rejects_non_420_chroma():
+    import numpy as np
+    import pytest as _pt
+
+    from clj_orc_spark.operators.multimodal import encode_y4m
+
+    frames = np.zeros((2, 8, 8), dtype=np.uint8)
+    for cs in (b"422", b"444"):
+        with _pt.raises(NotImplementedError):
+            encode_y4m(frames, colorspace=cs)
