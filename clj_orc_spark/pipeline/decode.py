@@ -322,15 +322,21 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
             )
     # bound TYPES are validated at plan time: the recorded doc_id stats are
     # lexicographic strings — numeric bounds would make Spark coerce the
-    # stats to numbers and silently prune chunks that actually match
-    if doc_id_range is not None and any(
+    # stats to numbers and silently prune chunks that actually match.
+    # These legacy-wording checks apply only when the store column has the
+    # token-table kind; otherwise the kind-aware validation below governs
+    # (a general store may hold numeric doc ids or sources).
+    if (doc_id_range is not None and kinds.get("doc_id") == "str" and any(
         b is not None and not isinstance(b, str) for b in doc_id_range
-    ):
+    )):
         raise TypeError("doc_id_range bounds must be strings (or None)")
     if n_tok_range is not None and any(
         b is not None and not isinstance(b, int) for b in n_tok_range
     ):
         raise TypeError("n_tok_range bounds must be ints (or None)")
+    if source_in is not None and kinds.get("source") == "str":
+        if not source_in or any(not isinstance(v, str) for v in source_in):
+            raise TypeError("source_in must be a non-empty list of strings")
     if token_range is not None:
         if any(b is not None and not isinstance(b, int) for b in token_range):
             raise TypeError("token_range bounds must be ints (or None)")
