@@ -320,3 +320,69 @@ def test_stream_decode_general_schema(spark, store, tmp_path):
     row = got.where(got.doc_id == "doc-00007").first()
     assert row["spans"] == tbl["spans"][7].as_py()
     assert row["uid"] == tbl["uid"][7].as_py()
+
+
+# --- property: ANY random flat schema round-trips at the chunk level --------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYP = True
+except ImportError:  # pragma: no cover
+    _HAS_HYP = False
+
+if _HAS_HYP:
+    import numpy as np
+    import pyarrow as _pa
+
+    from clj_orc_spark.pipeline.decode import decode_chunk_table
+    from clj_orc_spark.pipeline.encode import OUT_SCHEMA, _encode_chunk_rows
+
+    _KINDS = st.sampled_from(["str", "int32", "int64", "list32", "list64"])
+
+    def _col_data(draw, kind, n):
+        if kind == "str":
+            vals = draw(st.lists(
+                st.text(max_size=12), min_size=n, max_size=n))
+            return _pa.array(vals, type=_pa.string())
+        if kind == "int32":
+            vals = draw(st.lists(st.integers(-(2**31), 2**31 - 1),
+                                 min_size=n, max_size=n))
+            return _pa.array(vals, type=_pa.int32())
+        if kind == "int64":
+            vals = draw(st.lists(st.integers(-(2**63), 2**63 - 1),
+                                 min_size=n, max_size=n))
+            return _pa.array(vals, type=_pa.int64())
+        vt = _pa.int32() if kind == "list32" else _pa.int64()
+        bound = 2**31 - 1 if kind == "list32" else 2**63 - 1
+        vals = draw(st.lists(
+            st.lists(st.integers(-bound - 1, bound), max_size=6),
+            min_size=n, max_size=n))
+        return _pa.array(vals, type=_pa.list_(vt))
+
+    @settings(max_examples=25, deadline=None)
+    @given(data=st.data())
+    def test_random_schema_chunk_roundtrip(data):
+        """Schema-driven kernel binding must round-trip ANY flat schema of
+        supported kinds bit-exactly — random columns, lengths, extremes,
+        empty strings/lists, zero rows."""
+        n_cols = data.draw(st.integers(1, 5))
+        kinds = [data.draw(_KINDS) for _ in range(n_cols)]
+        schema = [(f"c{i}_{k}", k) for i, k in enumerate(kinds)]
+        n = data.draw(st.integers(0, 40))
+        tbl = _pa.table({
+            name: _col_data(data.draw, kind, n) for name, kind in schema
+        })
+        rows = _encode_chunk_rows(tbl, 0, 0, {}, "size", schema)
+        batch = _pa.RecordBatch.from_arrays(
+            [_pa.array(rows[f.name], type=f.type) for f in OUT_SCHEMA],
+            schema=OUT_SCHEMA,
+        )
+        back = decode_chunk_table(
+            _pa.Table.from_batches([batch]), None, schema
+        )
+        assert back.num_rows == n
+        for name, kind in schema:
+            got, want = back.column(name), tbl.column(name)
+            assert got.to_pylist() == want.to_pylist(), (name, kind)
