@@ -248,6 +248,57 @@ def _stat_pruned_specs(spark, out_dir: str, part_ids, range_specs,
     return [(_strip_file_scheme(r["file"]), sorted(r["cids"])) for r in pairs]
 
 
+def decode_plan_report(spark, out_dir: str,
+                       ranges: dict | None = None,
+                       isin: dict | None = None) -> dict:
+    """Observability for zone-map pruning: how many chunks/files would a
+    predicated decode touch?  Answers entirely from the payload-pruned
+    manifest (no chunk data read) — the engine-format analog of EXPLAIN's
+    partition/row-group pruning counts.
+
+    Returns ``{"chunks_total", "chunks_kept", "files_total", "files_kept"}``.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .encode import _has_parquet
+
+    schema = store_schema(spark, out_dir)
+    kinds = dict(schema)
+    mdir = os.path.join(out_dir, "manifest", "chunks")
+    if not _has_parquet(spark, mdir):
+        raise ValueError(f"no manifest under {out_dir!r}")
+    m = spark.read.parquet(mdir)
+    totals = m.agg(
+        F.countDistinct("chunk_id").alias("c"),
+        F.countDistinct("file").alias("f"),
+    ).first()
+
+    def _cast_of(kind):
+        if kind == "str":
+            return "string"
+        return "long" if kind in ("int64", "list32", "list64") else "int"
+
+    range_specs = []
+    for colname, (lo, hi) in (ranges or {}).items():
+        kind = kinds[colname]
+        phys = list_payload_names(colname)[0] if kind.startswith("list") \
+            else colname
+        range_specs.append((phys, lo, hi, _cast_of(kind)))
+    isin_specs = [
+        (c, list(v), _cast_of(kinds[c])) for c, v in (isin or {}).items()
+    ]
+    pruned = _stat_pruned_specs(spark, out_dir, None, range_specs, isin_specs)
+    if pruned is None:  # no predicates or stat-less store: everything kept
+        kept_c, kept_f = totals["c"], totals["f"]
+    else:
+        kept_c = sum(len(cids) for _, cids in pruned)
+        kept_f = len(pruned)
+    return {"chunks_total": totals["c"], "chunks_kept": kept_c,
+            "files_total": totals["f"], "files_kept": kept_f}
+
+
 def decode(spark, out_dir: str, part_ids: list[int] | None = None,
            mode: str = "files", columns: list[str] | None = None,
            doc_id_range: tuple | None = None,

@@ -434,3 +434,35 @@ def test_y4m_encode_rejects_non_420_chroma():
     for cs in (b"422", b"444"):
         with _pt.raises(NotImplementedError):
             encode_y4m(frames, colorspace=cs)
+
+
+def test_decode_plan_report(spark, tmp_path):
+    """Zone-map observability: report how many chunks/files a predicated
+    decode would touch, from the manifest alone."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clj_orc_spark.pipeline import decode_plan_report
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for prefix, base in (("low", 1), ("high", 1000)):
+        pq.write_table(pa.table({
+            "doc_id": [f"{prefix}{i:03d}" for i in range(50)],
+            "tokens": pa.array([[base + i] * 3 for i in range(50)],
+                               type=pa.list_(pa.int32())),
+            "n_tok": pa.array([3] * 50, type=pa.int32()),
+            "source": [f"s-{prefix}"] * 50,
+        }), str(src / f"{prefix}.parquet"))
+    out = str(tmp_path / "store")
+    encode(spark, str(src), out, n_partitions=2)
+
+    full = decode_plan_report(spark, out)
+    assert full["chunks_kept"] == full["chunks_total"] > 0
+
+    pruned = decode_plan_report(spark, out, ranges={"tokens": (900, None)})
+    assert 0 < pruned["chunks_kept"] < pruned["chunks_total"]
+    assert pruned["files_kept"] <= pruned["files_total"]
+
+    none = decode_plan_report(spark, out, isin={"source": ["nope"]})
+    assert none["chunks_kept"] == 0
