@@ -8,7 +8,14 @@ a warmup run precedes measurement, and the median per level is reported.
 Both N→4N pairs (2→8 and 8→32) are derived from the same level medians.
 
 Usage: python scripts/scaling_bench.py [--rows 4000000] [--reps 3]
-       [--levels 2,8,32]
+       [--levels 2,8,32] [--wait-loadavg 3.0] [--wait-max-sec 0]
+
+``--wait-loadavg`` gates the start on a quiet machine: poll until the
+1-minute loadavg drops below the threshold (round-4 judge item — the 8→32
+number needs a quiet window; neighbors can still arrive mid-run, which the
+per-rep controls record).  The results markdown goes to BENCH_scaling.md;
+merge the summary row into BENCH.md's run table by hand (the template here
+cannot know the narrative history).
 """
 
 from __future__ import annotations
@@ -101,7 +108,22 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=4_000_000)
     ap.add_argument("--levels", type=str, default="2,8,32")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--wait-loadavg", type=float, default=0.0,
+                    help="poll until 1-min loadavg < this before starting")
+    ap.add_argument("--wait-max-sec", type=float, default=0.0,
+                    help="give up waiting after this many seconds (0 = forever)")
     args = ap.parse_args()
+    if args.wait_loadavg > 0:
+        t0 = time.time()
+        while os.getloadavg()[0] >= args.wait_loadavg:
+            if args.wait_max_sec and time.time() - t0 > args.wait_max_sec:
+                print(json.dumps({"quiet_window": False,
+                                  "loadavg": os.getloadavg()}), flush=True)
+                break
+            time.sleep(30)
+        else:
+            print(json.dumps({"quiet_window": True,
+                              "loadavg": os.getloadavg()}), flush=True)
     levels = [int(x) for x in args.levels.split(",")]
     pairs = [(a, b) for a in levels for b in levels if b == 4 * a]
     assert pairs, "need at least one N/4N pair among the levels"
@@ -244,7 +266,9 @@ All runs:
 - deployment: spark-submit --py-files (scripts/submit_encode.py) verified,
   including resume across separate submit invocations.
 """
-    bench_md = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH.md")
+    # NOT BENCH.md: that file carries hand-written multi-run history this
+    # template would erase (it did once) — merge the summary row manually
+    bench_md = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_scaling.md")
     with open(bench_md, "w") as f:
         f.write(md)
     print(f"wrote {bench_md}")

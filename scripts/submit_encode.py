@@ -45,9 +45,12 @@ def main() -> None:
         resume=not args.no_resume,
     )
     if args.decode_verify:
-        report["verify"] = verify_digest(
-            spark.read.parquet(args.input), decode(spark, args.out)
+        # pathGlobFilter: fixture dirs may hold the ORC reference copy
+        # (tokens.orc) next to the parquet files encode() planned over
+        src = spark.read.option("pathGlobFilter", "*.parquet").parquet(
+            args.input
         )
+        report["verify"] = verify_digest(src, decode(spark, args.out))
     print(json.dumps({"job": "encode", **report}))
     spark.stop()
 
