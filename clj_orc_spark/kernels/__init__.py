@@ -14,6 +14,7 @@ from .dict_ import DictInt, DictStr  # noqa: F401
 from .fsst import Fsst  # noqa: F401
 from .plain import PlainInt, PlainStr  # noqa: F401
 from .rle import Rle  # noqa: F401
+from .split import ByteSplit  # noqa: F401
 
 
 def encode_int(arr, codec_name: str):

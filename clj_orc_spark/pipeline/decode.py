@@ -26,9 +26,13 @@ from .encode import DEFAULT_SCHEMA, list_payload_names, physical_cols
 TOKEN_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
 
 _DDL_TYPE = {"str": "string", "int32": "int", "int64": "bigint",
+             "float32": "float", "float64": "double",
              "list32": "array<int>", "list64": "array<bigint>"}
 _LIST_VALUE_TYPE = {"list32": pa.int32, "list64": pa.int64}
 _INT_TYPE = {"int32": (np.int32, pa.int32), "int64": (np.int64, pa.int64)}
+#: float kind → (unsigned bit-pattern dtype, float dtype, arrow type)
+_FLOAT_TYPE = {"float32": (np.uint32, np.float32, pa.float32),
+               "float64": (np.uint64, np.float64, pa.float64)}
 
 
 def _physical_map(schema) -> dict[str, tuple[str, ...]]:
@@ -37,6 +41,15 @@ def _physical_map(schema) -> dict[str, tuple[str, ...]]:
         name: (list_payload_names(name) if kind.startswith("list") else (name,))
         for name, kind in schema
     }
+
+
+def _bound_types(kind: str) -> tuple[tuple, str]:
+    """Accepted Python bound types for predicates on a column kind."""
+    if kind == "str":
+        return (str,), "str"
+    if kind in ("float32", "float64"):
+        return (int, float), "int or float"
+    return (int,), "int"
 
 
 def _select_ddl(columns: list[str], schema) -> str:
@@ -73,6 +86,7 @@ def decode_chunk_table(tbl: pa.Table, columns: list[str] | None = None,
     wanted = list(columns) if columns is not None else order
     needed = {p for c in wanted for p in phys[c]}
     cols = {}
+    valid_bufs: dict[str, bytes] = {}
     for i in range(tbl.num_rows):
         name = tbl.column("col")[i].as_py()
         if name not in needed:
@@ -84,10 +98,20 @@ def decode_chunk_table(tbl: pa.Table, columns: list[str] | None = None,
             raise IOError(
                 f"CRC mismatch on chunk {tbl.column('chunk_id')[0].as_py()} col {name}"
             )
+        vb_len = meta.get("valid")
+        if vb_len:
+            # nullable payload (round 5): little-endian packed validity
+            # bitmap prefixed to the kernel payload — Arrow buffer bit order
+            valid_bufs[name] = payload[:vb_len]
+            payload = payload[vb_len:]
         cols[name] = decode_any(payload, meta)
     missing = needed - set(cols)
     if missing:
         raise IOError(f"chunk incomplete, missing columns: {missing}")
+
+    def _vbuf(name: str):
+        vb = valid_bufs.get(name)
+        return pa.py_buffer(vb) if vb is not None else None
 
     out = {}
     for c in wanted:
@@ -105,15 +129,54 @@ def decode_chunk_table(tbl: pa.Table, columns: list[str] | None = None,
                     f"chunk holds {int(offsets[-1])} list values, beyond "
                     "int32 list offsets; re-encode with chunk_bytes <= 8 GiB"
                 )
-            out[c] = pa.ListArray.from_arrays(
-                pa.array(offsets.astype(np.int32)),
-                pa.array(flat, type=_LIST_VALUE_TYPE[kind]()),
-            )
+            if v_name in valid_bufs or o_name in valid_bufs:
+                # nullable reassembly: values validity from the values
+                # payload, list-entry validity from the offsets payload
+                values_arr = pa.Array.from_buffers(
+                    _LIST_VALUE_TYPE[kind](), len(flat),
+                    [_vbuf(v_name),
+                     pa.py_buffer(np.ascontiguousarray(flat).tobytes())],
+                )
+                out[c] = pa.Array.from_buffers(
+                    pa.list_(_LIST_VALUE_TYPE[kind]()), n,
+                    [_vbuf(o_name),
+                     pa.py_buffer(offsets.astype(np.int32).tobytes())],
+                    children=[values_arr],
+                )
+            else:
+                out[c] = pa.ListArray.from_arrays(
+                    pa.array(offsets.astype(np.int32)),
+                    pa.array(flat, type=_LIST_VALUE_TYPE[kind]()),
+                )
         elif kind in _INT_TYPE:
             np_t, pa_t = _INT_TYPE[kind]
-            out[c] = pa.array(cols[c].astype(np_t), type=pa_t())
+            arr = np.ascontiguousarray(cols[c].astype(np_t, copy=False))
+            if c in valid_bufs:
+                out[c] = pa.Array.from_buffers(
+                    pa_t(), len(arr),
+                    [_vbuf(c), pa.py_buffer(arr.tobytes())],
+                )
+            else:
+                out[c] = pa.array(arr, type=pa_t())
+        elif kind in _FLOAT_TYPE:
+            u_t, f_t, pa_t = _FLOAT_TYPE[kind]
+            # bit-pattern view back to float — NaN payload bits exact
+            arr = np.ascontiguousarray(cols[c].astype(u_t, copy=False)).view(f_t)
+            if c in valid_bufs:
+                out[c] = pa.Array.from_buffers(
+                    pa_t(), len(arr),
+                    [_vbuf(c), pa.py_buffer(arr.tobytes())],
+                )
+            else:
+                out[c] = pa.array(arr, type=pa_t())
         else:
-            out[c] = cols[c].to_arrow()
+            arr = cols[c].to_arrow()
+            if c in valid_bufs:
+                bufs = arr.buffers()
+                arr = pa.Array.from_buffers(
+                    arr.type, len(arr), [_vbuf(c), bufs[1], bufs[2]]
+                )
+            out[c] = arr
     return pa.table(out)
 
 
@@ -278,6 +341,8 @@ def decode_plan_report(spark, out_dir: str,
     def _cast_of(kind):
         if kind == "str":
             return "string"
+        if kind in ("float32", "float64"):
+            return "double"
         return "long" if kind in ("int64", "list32", "list64") else "int"
 
     range_specs = []
@@ -417,10 +482,10 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
             )
         if not isinstance(rng, (tuple, list)) or len(rng) != 2:
             raise TypeError(f"ranges[{colname!r}] must be a (lo, hi) pair")
-        want = str if kinds[colname] == "str" else int
+        want, want_name = _bound_types(kinds[colname])
         if any(b is not None and not isinstance(b, want) for b in rng):
             raise TypeError(
-                f"ranges[{colname!r}] bounds must be {want.__name__} (or None)"
+                f"ranges[{colname!r}] bounds must be {want_name} (or None)"
             )
         if all(b is None for b in rng):
             raise ValueError(f"ranges[{colname!r}] needs at least one bound")
@@ -434,14 +499,11 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
                 f"isin is not supported on list column {colname!r}; use a "
                 "ranges containment predicate"
             )
-        want = str if kinds[colname] == "str" else int
+        want, want_name = _bound_types(kinds[colname])
         if not vals or any(not isinstance(v, want) for v in vals):
             raise TypeError(
-                f"isin[{colname!r}] must be a non-empty list of {want.__name__}"
+                f"isin[{colname!r}] must be a non-empty list of {want_name}"
             )
-    if source_in is not None:
-        if not source_in or any(not isinstance(v, str) for v in source_in):
-            raise TypeError("source_in must be a non-empty list of strings")
     if columns is not None:
         if not columns:
             # an empty projection would otherwise surface later as an opaque
@@ -510,6 +572,8 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
     def _cast_of(kind: str) -> str:
         if kind == "str":
             return "string"
+        if kind in ("float32", "float64"):
+            return "double"
         return "long" if kind in ("int64", "list32", "list64") else "int"
 
     range_specs = []

@@ -91,17 +91,25 @@ OUT_DDL = (
 CHUNK_COLS = ("doc_id", "source", "n_tok", "token_values", "offsets")
 
 #: the fixed token-table schema (BASELINE input_hint) as a schema descriptor —
-#: ``(name, kind)`` pairs, kind ∈ {str, int32, int64, list32, list64}.  Since
-#: round 4 the engine encodes ANY flat schema of these kinds (the analog of
-#: the reference's user-declared decode plan, `src/orc/col.clj:184-204`:
-#: schema-driven kernel binding instead of a hardcoded column list).
+#: ``(name, kind)`` pairs, kind ∈ {str, int32, int64, float32, float64,
+#: list32, list64}.  Since round 4 the engine encodes ANY flat schema of
+#: these kinds (the analog of the reference's user-declared decode plan,
+#: `src/orc/col.clj:184-204`: schema-driven kernel binding instead of a
+#: hardcoded column list); round 5 adds the float kinds the reference's
+#: dispatch table covers (`src/orc/col.clj:70-75,164-165`) — encoded over
+#: their exact bit patterns, so the reference's NaN→nil normalization is
+#: deliberately NOT replicated (bit-identity contract).
 DEFAULT_SCHEMA = (
     ("doc_id", "str"), ("tokens", "list32"), ("n_tok", "int32"),
     ("source", "str"),
 )
 
 _KIND_NP = {"int32": np.int32, "int64": np.int64,
+            "float32": np.float32, "float64": np.float64,
             "list32": np.int32, "list64": np.int64}
+
+#: float kind → the same-width unsigned view its bit patterns encode as
+_FLOAT_U = {"float32": np.uint32, "float64": np.uint64}
 
 
 def list_payload_names(name: str) -> tuple[str, str]:
@@ -138,6 +146,10 @@ def derive_schema(arrow_schema) -> list[tuple[str, str]]:
             out.append((field.name, "int32"))
         elif t == _pa.int64():
             out.append((field.name, "int64"))
+        elif t == _pa.float32():
+            out.append((field.name, "float32"))
+        elif t == _pa.float64():
+            out.append((field.name, "float64"))
         elif _pa.types.is_list(t) or _pa.types.is_large_list(t):
             vt = t.value_type
             if vt in (_pa.int32(), _pa.int16(), _pa.int8()):
@@ -152,7 +164,8 @@ def derive_schema(arrow_schema) -> list[tuple[str, str]]:
         else:
             raise ValueError(
                 f"unsupported column type {t} for {field.name!r}: engine "
-                "schemas are flat str/int32/int64/array<int>/array<bigint>"
+                "schemas are flat str/int32/int64/float/double/"
+                "array<int>/array<bigint>"
             )
     if not out:
         raise ValueError("cannot encode an empty schema")
@@ -189,43 +202,107 @@ def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int,
     # (zone maps): recorded in the manifest so decode can prune chunks
     # against predicates without touching payloads
     columns: dict[str, tuple[object, str, int]] = {}
+    #: per-payload validity (bool[n], None = all valid).  NULLs are encoded
+    #: as a packed little-endian validity bitmap prefixed to the payload
+    #: (the ORC/Arrow PRESENT-stream model) + a zero/empty fill value the
+    #: kernels see; non-null chunks carry no bitmap and stay BYTE-IDENTICAL
+    #: to stores written before round 5.  np.asarray of a nulled Arrow
+    #: array would otherwise yield silent INT_MIN sentinels — fill first.
+    valids: dict[str, np.ndarray | None] = {}
     mm: dict[str, dict] = {}
     for name, kind in schema:
-        # NULL guard (metadata-only check): np.asarray of a nulled Arrow int
-        # array silently yields INT_MIN sentinels, and a null list entry
-        # desynchronizes lengths vs flattened values — either would write a
-        # silently corrupt store.  The engine's schema contract is non-null
-        # (BASELINE input_hint); refuse loudly at the first nulled chunk.
-        if tbl.column(name).null_count:
-            raise ValueError(
-                f"column {name!r} holds NULLs; engine schemas are non-null "
-                "— fill or drop nulls upstream before encoding"
-            )
+        col_c = tbl.column(name).combine_chunks() if (
+            tbl.column(name).null_count or kind.startswith("list")
+        ) else None
+        nulls = tbl.column(name).null_count
+        valid = np.asarray(col_c.is_valid()) if nulls else None
         if kind == "str":
-            col = StringCol.from_arrow(tbl.column(name).combine_chunks())
+            arr_c = col_c if col_c is not None else tbl.column(
+                name).combine_chunks()
+            col = StringCol.from_arrow(
+                pc.fill_null(arr_c, "") if nulls else arr_c
+            )
             columns[name] = (col, "str", 0)
-            lohi = pc.min_max(tbl.column(name))
+            valids[name] = valid
+            lohi = pc.min_max(tbl.column(name))  # skips nulls
             mm[name] = {"min": lohi["min"].as_py(), "max": lohi["max"].as_py()}
         elif kind in ("int32", "int64"):
-            arr = np.asarray(
-                tbl.column(name).combine_chunks(), dtype=_KIND_NP[kind]
-            )
+            if nulls:
+                arr = np.asarray(pc.fill_null(col_c, 0), dtype=_KIND_NP[kind])
+                lohi = pc.min_max(col_c)
+                mn, mx = lohi["min"].as_py(), lohi["max"].as_py()
+            else:
+                arr = np.asarray(
+                    tbl.column(name).combine_chunks(), dtype=_KIND_NP[kind]
+                )
+                mn = int(arr.min()) if n else None
+                mx = int(arr.max()) if n else None
             columns[name] = (arr, "int", arr.nbytes)
-            mm[name] = {"min": int(arr.min()) if n else None,
-                        "max": int(arr.max()) if n else None}
+            valids[name] = valid
+            mm[name] = {"min": mn, "max": mx}
+        elif kind in ("float32", "float64"):
+            if nulls:
+                arr = np.asarray(
+                    pc.fill_null(col_c, 0.0), dtype=_KIND_NP[kind]
+                )
+                fin = arr[valid]
+            else:
+                arr = np.asarray(
+                    tbl.column(name).combine_chunks(), dtype=_KIND_NP[kind]
+                )
+                fin = arr
+            # kernels see the exact bit pattern (uint view) — NaN payload
+            # bits round-trip untouched; the reference's NaN→nil
+            # normalization (`src/orc/col.clj:73-74`) is NOT replicated
+            columns[name] = (arr.view(_FLOAT_U[kind]), "float", arr.nbytes)
+            valids[name] = valid
+            if len(fin) and bool(np.isfinite(fin).all()):
+                mm[name] = {"min": float(fin.min()), "max": float(fin.max())}
+            else:
+                # NaN/Inf aren't strict JSON and NaN breaks ordered zone
+                # maps (Spark sorts NaN greatest) — stat-less chunks are
+                # conservatively kept by the pruner
+                mm[name] = {"min": None, "max": None}
         else:  # list32 / list64
-            flat = _flatten_list(tbl.column(name), _KIND_NP[kind])
-            lens = np.asarray(
-                pc.list_value_length(tbl.column(name)).combine_chunks(),
-                dtype=np.int64,
+            v_name, o_name = list_payload_names(name)
+            vals_nulls = (
+                col_c.flatten().null_count if col_c is not None else 0
             )
+            if nulls or vals_nulls:
+                # null list entries → length 0 (their ghost values are not
+                # logical data; flatten() already skips them); null VALUES
+                # inside lists get their own validity bitmap + zero fill
+                values = col_c.flatten()
+                lens = np.asarray(
+                    pc.fill_null(pc.list_value_length(col_c), 0),
+                    dtype=np.int64,
+                )
+                v_valid = (
+                    np.asarray(values.is_valid()) if vals_nulls else None
+                )
+                flat = np.asarray(
+                    pc.fill_null(values, 0) if vals_nulls else values,
+                    dtype=_KIND_NP[kind],
+                )
+                vlohi = pc.min_max(values)
+                v_mn, v_mx = vlohi["min"].as_py(), vlohi["max"].as_py()
+            else:
+                flat = _flatten_list(tbl.column(name), _KIND_NP[kind])
+                lens = np.asarray(
+                    pc.list_value_length(tbl.column(name)).combine_chunks(),
+                    dtype=np.int64,
+                )
+                v_valid = None
+                v_mn = int(flat.min()) if len(flat) else None
+                v_mx = int(flat.max()) if len(flat) else None
             offsets = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(lens, out=offsets[1:])
-            v_name, o_name = list_payload_names(name)
             columns[v_name] = (flat, "int", flat.nbytes)
             columns[o_name] = (offsets, "int", offsets.nbytes)
-            mm[v_name] = {"min": int(flat.min()) if len(flat) else None,
-                          "max": int(flat.max()) if len(flat) else None}
+            # list-level validity rides on the offsets payload
+            valids[v_name] = v_valid
+            valids[o_name] = valid
+            mm[v_name] = {"min": v_mn, "max": v_mx}
             mm[o_name] = {"min": 0, "max": int(offsets[-1])}
     chunk_id = (part_id << 20) | seq
 
@@ -236,6 +313,14 @@ def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int,
         payload, meta, selection = encode_column(
             col, kind, cache, col_name, policy
         )
+        v = valids.get(col_name)
+        if v is not None:
+            # packed little-endian = Arrow validity-buffer bit order, so
+            # decode can hand the bytes straight to Array.from_buffers
+            vb = np.packbits(v, bitorder="little").tobytes()
+            payload = vb + payload
+            meta = dict(meta)
+            meta["valid"] = len(vb)
         rows["chunk_id"].append(chunk_id)
         rows["seq"].append(seq)
         rows["col"].append(col_name)
@@ -461,10 +546,11 @@ def _row_weight_csum(tbl: pa.Table, schema) -> np.ndarray:
     List columns dominate (values bytes); for the default token table this
     is exactly the historical ``n_tok * 4``, so chunk boundaries — and
     therefore payload bytes — are unchanged for existing stores.  A schema
-    with no list column falls back to its fixed per-row scalar footprint
-    (+8/str for the offsets index) so the governor still flushes."""
+    with NO list column weighs strings by their ACTUAL per-row UTF-8 bytes
+    (+8 offsets index) plus the fixed scalar footprint — a fixed 8 B/str
+    would degenerate the byte budget into a row-count budget on
+    string-heavy schemas (round-4 advice)."""
     w = None
-    scalar_bytes = 0
     for name, kind in schema:
         if kind.startswith("list"):
             lens = np.asarray(
@@ -472,12 +558,22 @@ def _row_weight_csum(tbl: pa.Table, schema) -> np.ndarray:
                 dtype=np.int64,
             ) * _KIND_NP[kind]().itemsize
             w = lens if w is None else w + lens
-        elif kind == "str":
-            scalar_bytes += 8
+    if w is not None:
+        return np.cumsum(w)
+    scalar_bytes = 0
+    for name, kind in schema:
+        if kind == "str":
+            slens = np.asarray(
+                pc.binary_length(tbl.column(name)).combine_chunks(),
+                dtype=np.int64,
+            ) + 8
+            w = slens if w is None else w + slens
         else:
             scalar_bytes += _KIND_NP[kind]().itemsize
     if w is None:
         w = np.full(tbl.num_rows, max(1, scalar_bytes), dtype=np.int64)
+    elif scalar_bytes:
+        w = w + scalar_bytes
     return np.cumsum(w)
 
 

@@ -26,6 +26,7 @@ from .kernels.delta import Delta
 from .kernels.fsst import Fsst
 from .kernels.plain import PlainInt, PlainStr
 from .kernels.rle import Rle, run_starts
+from .kernels.split import ByteSplit, plane_run_counts
 
 DISTINCT_SAMPLE = 1 << 16
 FSST_SAMPLE_STRINGS = 2048
@@ -179,6 +180,10 @@ def str_stats(col: StringCol) -> dict:
 
 INT_CANDIDATES = (PlainInt, ForBitpack, PatchedFor, Rle, Delta, DictInt)
 STR_CANDIDATES = (PlainStr, DictStr, Fsst)
+#: float columns arrive as uint32/uint64 BIT PATTERNS; Delta is excluded
+#: (differences of IEEE-754 patterns carry no structure) and ByteSplit added
+#: (sign/exponent planes are repetitive even when whole patterns are not)
+FLOAT_CANDIDATES = (PlainInt, ForBitpack, PatchedFor, Rle, DictInt, ByteSplit)
 
 
 #: with policy="speed", dict_int must beat the best direct codec by this
@@ -211,6 +216,37 @@ def select_int(arr: np.ndarray, stats: dict | None = None,
             winner = min(
                 (k for k in ests if k != DictInt.name), key=ests.get
             )
+    return winner, ests
+
+
+def float_stats(arr_u: np.ndarray) -> dict:
+    """Stats for a float column's unsigned bit-pattern view: the int stats
+    (exact mod-2^64 FOR math — see as_unsigned_residuals) plus per-byte-plane
+    run counts for the ByteSplit estimate."""
+    stats = int_stats(arr_u)
+    if stats["n"]:
+        stats["plane_runs"] = plane_run_counts(arr_u)
+    return stats
+
+
+def select_float(arr_u: np.ndarray, stats: dict | None = None,
+                 policy: str = "size") -> tuple[str, dict]:
+    if stats is None:
+        stats = float_stats(arr_u)
+    if stats["n"] == 0:
+        return PlainInt.name, {}
+    ests = {}
+    for codec in FLOAT_CANDIDATES:
+        if codec is DictInt:
+            if stats["n_distinct"] < stats["n"] // 2:
+                ests[codec.name] = DictInt.estimate(stats)
+        else:
+            ests[codec.name] = codec.estimate(stats)
+    winner = min(ests, key=ests.get)
+    if policy == "speed" and winner == DictInt.name:
+        direct = min(v for k, v in ests.items() if k != DictInt.name)
+        if ests[DictInt.name] > SPEED_DICT_FACTOR * direct:
+            winner = min((k for k in ests if k != DictInt.name), key=ests.get)
     return winner, ests
 
 
@@ -258,13 +294,17 @@ def encode_column(column, kind: str, cache: dict | None = None,
 
 
 def _encode_column_inner(column, kind, cache, key, policy, cached):
-    if kind == "int":
+    if kind in ("int", "float"):
         if cached is not None:
             winner, ests = cached["winner"], cached["ests"]
             width_hint = cached.get("width_hint")
         else:
-            stats = int_stats(column)
-            winner, ests = select_int(column, stats=stats, policy=policy)
+            if kind == "float":
+                stats = float_stats(column)
+                winner, ests = select_float(column, stats=stats, policy=policy)
+            else:
+                stats = int_stats(column)
+                winner, ests = select_int(column, stats=stats, policy=policy)
             width_hint = stats["patched_width"]
             if cache is not None and key is not None:
                 cache[key] = {"winner": winner, "ests": ests,

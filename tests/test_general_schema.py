@@ -71,8 +71,12 @@ def test_schema_derivation():
         "doc_id", "token_values", "offsets", "n_tok", "source", "lang",
         "year", "uid", "spans__values", "spans__offsets",
     )
+    # float/double are supported since round 5 (test_float_schema.py)
+    assert derive_schema(pa.schema([
+        pa.field("f", pa.float32()), pa.field("d", pa.float64()),
+    ])) == [("f", "float32"), ("d", "float64")]
     with pytest.raises(ValueError, match="unsupported"):
-        derive_schema(pa.schema([pa.field("x", pa.float64())]))
+        derive_schema(pa.schema([pa.field("x", pa.date32())]))
     with pytest.raises(ValueError, match="unsupported list value"):
         derive_schema(pa.schema([pa.field("x", pa.list_(pa.string()))]))
 
@@ -339,9 +343,24 @@ if _HAS_HYP:
     from clj_orc_spark.pipeline.decode import decode_chunk_table
     from clj_orc_spark.pipeline.encode import OUT_SCHEMA, _encode_chunk_rows
 
-    _KINDS = st.sampled_from(["str", "int32", "int64", "list32", "list64"])
+    _KINDS = st.sampled_from(
+        ["str", "int32", "int64", "float32", "float64", "list32", "list64"]
+    )
 
     def _col_data(draw, kind, n):
+        if kind in ("float32", "float64"):
+            # arbitrary BIT PATTERNS via ints — includes NaN payloads,
+            # ±inf, ±0, subnormals
+            if kind == "float32":
+                bits = draw(st.lists(st.integers(0, 2**32 - 1),
+                                     min_size=n, max_size=n))
+                f = np.array(bits, dtype=np.uint64).astype(
+                    np.uint32).view(np.float32)
+                return _pa.array(f, type=_pa.float32())
+            bits = draw(st.lists(st.integers(0, 2**64 - 1),
+                                 min_size=n, max_size=n))
+            f = np.array(bits, dtype=np.uint64).view(np.float64)
+            return _pa.array(f, type=_pa.float64())
         if kind == "str":
             vals = draw(st.lists(
                 st.text(max_size=12), min_size=n, max_size=n))
@@ -385,4 +404,13 @@ if _HAS_HYP:
         assert back.num_rows == n
         for name, kind in schema:
             got, want = back.column(name), tbl.column(name)
-            assert got.to_pylist() == want.to_pylist(), (name, kind)
+            if kind in ("float32", "float64"):
+                # NaN != NaN — compare BIT PATTERNS (the actual contract)
+                u = np.uint32 if kind == "float32" else np.uint64
+                gb = got.combine_chunks().to_numpy(
+                    zero_copy_only=False).view(u)
+                wb = want.combine_chunks().to_numpy(
+                    zero_copy_only=False).view(u)
+                assert np.array_equal(gb, wb), (name, kind)
+            else:
+                assert got.to_pylist() == want.to_pylist(), (name, kind)

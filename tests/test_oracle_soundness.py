@@ -39,6 +39,32 @@ def test_embed_lsh_recall_is_exact_at_oracle_scale(spark):
     assert lsh == exact
 
 
+def test_embed_near_dup_driver_config_recall_is_exact(spark):
+    """The `embed_near_dup` driver query (round 5: bounded vec_id<500
+    slice, threshold 0.35, fixed 600 cap — no count() action, no
+    O(n²)-equivalent bucket expansion) must equal the exact baseline on
+    the same slice."""
+    from pyspark.sql import functions as F
+
+    from clj_orc_spark.operators import cosine_near_dups, cosine_near_dups_lsh
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").where(
+        F.col("vec_id") < 500
+    )
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_near_dups(emb, threshold=0.35).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_near_dups_lsh(
+            emb, threshold=0.35, n_planes=16, bands=16, max_bucket=600
+        ).collect()
+    }
+    assert len(exact) > 0
+    assert lsh == exact
+
+
 def test_minhash_verified_equals_bruteforce_at_oracle_scale(spark):
     """The full candidate→verify pipeline must equal DuckDB's brute-force
     all-pairs exact 3-gram Jaccard — i.e. the MinHash candidate stage

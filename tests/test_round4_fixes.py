@@ -372,31 +372,39 @@ def test_duplicate_clusters_empty(spark):
 # --- round-4 self-review fixes ----------------------------------------------
 
 
-def test_null_columns_rejected_at_encode(spark, tmp_path):
-    """NULLs would silently become INT_MIN sentinels / desynchronized list
-    offsets — encode must refuse loudly (review finding #1)."""
+def test_null_columns_roundtrip_exactly(spark, tmp_path):
+    """Round 4 refused NULLs loudly (they silently became INT_MIN sentinels);
+    round 5 encodes them via per-payload validity bitmaps (the ORC/Arrow
+    PRESENT-stream model) — null scalars, null list entries, and nulls
+    INSIDE list values all round-trip exactly (see also
+    test_nullable_schema.py)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    for colname, tbl in (
-        ("n_tok", pa.table({
-            "doc_id": ["a", "b"],
-            "tokens": pa.array([[1], [2]], type=pa.list_(pa.int32())),
-            "n_tok": pa.array([1, None], type=pa.int32()),
-            "source": ["s", "s"],
-        })),
-        ("tokens", pa.table({
-            "doc_id": ["a", "b"],
-            "tokens": pa.array([[1], None], type=pa.list_(pa.int32())),
-            "n_tok": pa.array([1, 0], type=pa.int32()),
-            "source": ["s", "s"],
-        })),
-    ):
-        src = str(tmp_path / f"null-{colname}.parquet")
-        pq.write_table(tbl, src)
-        out = str(tmp_path / f"store-{colname}")
-        with pytest.raises(Exception, match="NULL"):
-            encode(spark, src, out, n_partitions=1)
+    tbl = pa.table({
+        "doc_id": pa.array(["a", "b", None, "d"], type=pa.string()),
+        "tokens": pa.array(
+            [[1], None, [2, None, 4], []], type=pa.list_(pa.int32())
+        ),
+        "n_tok": pa.array([1, None, 3, 0], type=pa.int32()),
+        "source": ["s", "s", None, "t"],
+    })
+    src = str(tmp_path / "nulls.parquet")
+    pq.write_table(tbl, src)
+    out = str(tmp_path / "store-nulls")
+    encode(spark, src, out, n_partitions=1)
+    got = sorted(
+        decode(spark, out).collect(),
+        key=lambda r: (r["doc_id"] is None, r["doc_id"]),
+    )
+    assert [
+        (r["doc_id"], r["tokens"], r["n_tok"], r["source"]) for r in got
+    ] == [
+        ("a", [1], 1, "s"),
+        ("b", None, None, "s"),
+        ("d", [], 0, "t"),
+        (None, [2, None, 4], 3, None),
+    ]
 
 
 def test_legacy_predicate_sugar_is_kind_checked(spark, tmp_path):
