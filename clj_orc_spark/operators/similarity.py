@@ -80,9 +80,18 @@ def train_ivf(df: DataFrame, n_centroids: int = 16, vec_col: str = "embedding",
     collected (driver-bounded), and any excess is subsampled in numpy with
     the same seed.  ``n_rows`` lets callers who already know the table size
     skip the count job — at 100 TB pass it (e.g. from parquet footers or the
-    table manifest); the ``count()`` fallback is one extra column-pruned
-    scan of the table."""
-    n = df.count() if n_rows is None else int(n_rows)
+    table manifest).  Without ``n_rows`` the fallback is ``countApprox``
+    with a bounded timeout (the fraction only needs to be the right order
+    of magnitude; the numpy subsample below trims any excess exactly), so
+    no caller path runs a full count() scan."""
+    if n_rows is not None:
+        n = int(n_rows)
+    else:
+        n = int(
+            df.select(F.lit(1)).rdd.countApprox(timeout=2000, confidence=0.9)
+        )
+        if n <= 0:
+            n = int(df.count())  # timeout returned nothing: exact fallback
     if n == 0:
         raise ValueError("cannot train IVF codebook on an empty DataFrame")
     frac = min(1.0, 1.25 * sample_rows / n)

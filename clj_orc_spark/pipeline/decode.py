@@ -607,32 +607,7 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
         and len(needed_cols) < len(physical_cols(schema))
     )
 
-    def decode_files(batches):
-        import pyarrow.parquet as pq
-
-        for batch in batches:
-            for path, cids_json in zip(
-                batch.column(0).to_pylist(), batch.column(1).to_pylist()
-            ):
-                # parquet filters give row-group skipping (the writer keeps
-                # ~4 payload rows per group): pruned-out chunks' and
-                # unrequested columns' payload bytes are mostly never read
-                filters = []
-                if cids_json is not None:
-                    filters.append(("chunk_id", "in", _json.loads(cids_json)))
-                if prune_cols:
-                    filters.append(("col", "in", needed_cols))
-                # manifest-recorded URIs may be scheme-qualified (object
-                # store) — resolve per path; plain local paths hit
-                # LocalFileSystem, same as before
-                fs, p = pafs.resolve(path)
-                tbl = pq.read_table(p, filesystem=fs, filters=filters or None)
-                ids = tbl.column("chunk_id").to_numpy()
-                for cid in np.unique(ids):
-                    group = tbl.filter(pc.equal(tbl.column("chunk_id"), cid))
-                    yield from decode_chunk_table(
-                        group, columns, schema
-                    ).to_batches()
+    decode_files = make_files_decoder(columns, schema, needed_cols, prune_cols)
 
     # each task receives its OWN file path as data — a closure over the full
     # file list would ship every task a copy of all paths (millions at 100 TB)
@@ -641,3 +616,136 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
         "path string, cids string",
     )
     return exact_filter(work.mapInArrow(decode_files, ddl))
+
+
+def _rg_keep(md, cids: set | None, needed_cols, prune_cols: bool) -> list[int]:
+    """Row groups that can hold wanted rows, from footer statistics — the
+    manual equivalent of ``pq.read_table(filters=...)`` row-group skipping
+    (chunk_id IN cids, col IN needed_cols), conservative when stats are
+    absent."""
+    name_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    ci, co = name_idx.get("chunk_id"), name_idx.get("col")
+    keep = []
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        ok = True
+        if cids is not None and ci is not None:
+            st = rg.column(ci).statistics
+            if st is not None and st.has_min_max:
+                ok = any(st.min <= c <= st.max for c in cids)
+        if ok and prune_cols and co is not None:
+            st = rg.column(co).statistics
+            if st is not None and st.has_min_max:
+                ok = any(st.min <= c <= st.max for c in needed_cols)
+        if ok:
+            keep.append(g)
+    return keep
+
+
+class _Inline:
+    """ThreadPoolExecutor stand-in that runs submit() on the caller thread —
+    the serial baseline for the decode read-overlap A/B."""
+
+    class _Done:
+        def __init__(self, value):
+            self._value = value
+
+        def result(self):
+            return self._value
+
+    def submit(self, fn, *args):
+        return self._Done(fn(*args))
+
+    def shutdown(self, wait=False):
+        pass
+
+
+def make_files_decoder(columns, schema, needed_cols, prune_cols: bool,
+                       prefetch: bool = True):
+    """mapInArrow kernel over ``(path, cids_json)`` rows → decoded batches.
+
+    Round 5: row groups are read with a ONE-IN-FLIGHT background prefetch —
+    while the codec kernels decode the chunks completed by group i, a
+    single reader thread pulls group i+1 (pyarrow's parquet reader releases
+    the GIL), the same read/compute overlap that bought encode +19%
+    (encode.py make_rowgroup_encoder).  Chunks may span row groups: rows
+    for a chunk are written contiguously, so everything except the
+    last-seen chunk_id is complete once a group arrives; the tail carries
+    over to the next group.  ``prefetch=False`` reads serially on the task
+    thread — the A/B baseline for scripts/decode_overlap_bench.py."""
+
+    def decode_files(batches):
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.parquet as pq
+
+        pool = ThreadPoolExecutor(max_workers=1) if prefetch else _Inline()
+        try:
+            for batch in batches:
+                for path, cids_json in zip(
+                    batch.column(0).to_pylist(), batch.column(1).to_pylist()
+                ):
+                    cids = (
+                        set(json.loads(cids_json))
+                        if cids_json is not None else None
+                    )
+                    # manifest-recorded URIs may be scheme-qualified (object
+                    # store) — resolve per path; plain local paths hit
+                    # LocalFileSystem, same as before
+                    fs, p = pafs.resolve(path)
+                    pf = pq.ParquetFile(p, filesystem=fs)
+                    keep = _rg_keep(pf.metadata, cids, needed_cols, prune_cols)
+                    if not keep:
+                        continue
+
+                    def _filtered(g):
+                        t = pf.read_row_group(g)
+                        if cids is not None:
+                            t = t.filter(pc.is_in(
+                                t.column("chunk_id"),
+                                value_set=pa.array(
+                                    sorted(cids), type=pa.int64()),
+                            ))
+                        if prune_cols:
+                            t = t.filter(pc.is_in(
+                                t.column("col"),
+                                value_set=pa.array(
+                                    needed_cols, type=pa.string()),
+                            ))
+                        return t
+
+                    fut = pool.submit(_filtered, keep[0])
+                    carry = None
+                    for j in range(len(keep)):
+                        tbl = fut.result()
+                        fut = (
+                            pool.submit(_filtered, keep[j + 1])
+                            if j + 1 < len(keep) else None
+                        )
+                        if carry is not None:
+                            tbl = pa.concat_tables([carry, tbl])
+                        if tbl.num_rows == 0:
+                            carry = None
+                            continue
+                        ids = tbl.column("chunk_id").to_numpy()
+                        last = ids[-1]
+                        if fut is not None:
+                            done_mask = ids != last
+                            carry = tbl.filter(pc.equal(
+                                tbl.column("chunk_id"), last))
+                            tbl = tbl.filter(pa.array(done_mask))
+                        else:
+                            carry = None
+                        for cid in np.unique(
+                            tbl.column("chunk_id").to_numpy()
+                        ):
+                            group = tbl.filter(
+                                pc.equal(tbl.column("chunk_id"), cid)
+                            )
+                            yield from decode_chunk_table(
+                                group, columns, schema
+                            ).to_batches()
+        finally:
+            pool.shutdown(wait=False)
+
+    return decode_files

@@ -28,20 +28,63 @@ import os
 from pyspark.sql import DataFrame, functions as F
 
 
+def _source_log_files(spark, checkpoint: str, batch_id: int) -> list[str]:
+    """File paths the FileStreamSource assigned to ``batch_id``, from its
+    commit log at ``<checkpoint>/sources/0/<batch_id>`` (header line ``v1``,
+    then one JSON object per file).  Empty list → caller falls back to the
+    shuffle-mode decode (non-file source, or an unrecognized log format)."""
+    import json
+
+    from ..pipeline import fsio
+
+    path = os.path.join(checkpoint, "sources", "0", str(int(batch_id)))
+    try:
+        if not fsio.exists(spark, path):
+            return []
+        text = fsio.read_text(spark, path)
+    except Exception:
+        return []
+    files = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("v"):
+            continue
+        try:
+            files.append(json.loads(line)["path"])
+        except (ValueError, KeyError, TypeError):
+            return []  # unknown format: never guess, take the safe path
+    return sorted(files)
+
+
 def stream_decode(
     spark,
     out_dir: str,
     sink_dir: str,
     max_files_per_trigger: int = 8,
     available_now: bool = True,
+    _plan_log: list | None = None,
 ):
     """Continuously decode encoded chunks as they land; returns the query.
 
-    ``foreachBatch`` reuses the exact batch decode kernel path; each
-    micro-batch groups its complete chunks and appends decoded token rows to
-    ``sink_dir`` as parquet.
+    ``foreachBatch`` reuses the exact batch decode kernel path.  Round 5:
+    each micro-batch decodes through the ZERO-SHUFFLE files-mode kernel —
+    the batch's file list comes from the file source's own commit log
+    (``<checkpoint>/sources/0/<batch_id>``, written by the source when it
+    plans the batch — driver-side metadata, no job; ``inputFiles()`` is
+    empty inside foreachBatch because the batch DataFrame is an
+    ExistingRDD wrapper).  One task per chunk file, same as batch
+    ``decode(mode="files")``; the old ``groupBy(chunk_id).applyInArrow``
+    reshuffled every payload byte once per micro-batch.  The encoder writes
+    a chunk's column rows contiguously into one file and the file source
+    assigns whole files to micro-batches, so per-file decode is complete.
     """
-    from ..pipeline.decode import _select_ddl, decode_chunk_table, store_schema
+    from ..pipeline.decode import (
+        _physical_map,
+        _select_ddl,
+        decode_chunk_table,
+        make_files_decoder,
+        store_schema,
+    )
 
     chunks_dir = os.path.join(out_dir, "chunks")
     static_schema = spark.read.parquet(chunks_dir).schema
@@ -49,6 +92,11 @@ def stream_decode(
     # ANY flat schema, not just the token table)
     schema = store_schema(spark, out_dir)
     ddl = _select_ddl([name for name, _ in schema], schema)
+    needed = sorted({
+        p for c in (name for name, _ in schema)
+        for p in _physical_map(schema)[c]
+    })
+    decoder = make_files_decoder(None, schema, needed, False)
 
     stream = (
         spark.readStream.schema(static_schema)
@@ -56,13 +104,36 @@ def stream_decode(
         .parquet(chunks_dir)
     )
 
+    checkpoint = os.path.join(sink_dir, "_checkpoint")
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         import pyarrow as pa
 
-        def decode_group(tbl: pa.Table) -> pa.Table:
-            return decode_chunk_table(tbl, None, schema)
+        sess = batch_df.sparkSession
+        files = _source_log_files(sess, checkpoint, batch_id)
+        if files:
+            work = sess.createDataFrame(
+                sess.sparkContext.parallelize(
+                    [(f, None) for f in files], len(files)
+                ),
+                "path string, cids string",
+            )
+            decoded = work.mapInArrow(decoder, ddl)
+        else:
+            if not batch_df.take(1):
+                return
+            # file list unavailable (non-file source): shuffle fallback
 
-        decoded = batch_df.groupBy("chunk_id").applyInArrow(decode_group, ddl)
+            def decode_group(tbl: pa.Table) -> pa.Table:
+                return decode_chunk_table(tbl, None, schema)
+
+            decoded = batch_df.groupBy("chunk_id").applyInArrow(
+                decode_group, ddl
+            )
+        if _plan_log is not None:  # test hook: record the micro-batch plan
+            _plan_log.append(
+                decoded._jdf.queryExecution().executedPlan().toString()
+            )
         decoded.write.mode("append").parquet(sink_dir)
 
     writer = (
