@@ -822,6 +822,45 @@ def _q_roundtrip_nulls(spark, sf):
     )
 
 
+def _q_roundtrip_struct(spark, sf):
+    """STRUCT SHREDDING round-trip under the oracle (round 5): a struct
+    column (nullable at the struct level AND per field) goes through
+    encode → decode, and aggregates over its shredded fields
+    (count(struct), count(field), null-skipping sums) must equal DuckDB
+    computing the same values from the raw scalar expressions — proving
+    field shredding + present-column reassembly preserve SQL semantics."""
+    import shutil
+
+    from clj_orc_spark.pipeline import decode, encode
+
+    src_df = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "CAST(doc_id AS string) AS doc_id",
+        "CASE WHEN n_chars % 13 = 0 THEN"
+        " CAST(NULL AS struct<lang:string,score:double,nw:int>)"
+        " ELSE named_struct("
+        "   'lang', nullif(lang, 'en'),"
+        "   'score', CAST(n_chars AS double) * 0.5,"
+        "   'nw', CAST(n_chars % 100 AS int)) END AS meta",
+        "source",
+    )
+    base = (f"/tmp/clj-orc-roundtrip-struct-"
+            f"{os.path.basename(os.path.normpath(sf))}-"
+            f"{spark.sparkContext.applicationId}")
+    src, out = base + "-src", base + "-store"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    src_df.write.parquet(src)
+    encode(spark, src, out, n_partitions=4, resume=False)
+    dec = decode(spark, out)
+    return dec.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("meta").alias("n_meta"),
+        F.count("meta.lang").alias("n_lang"),
+        F.sum(F.col("meta.nw").cast("long")).alias("nw_sum"),
+        F.sum("meta.score").alias("score_sum"),
+    )
+
+
 def _q_multimodal_features(spark, sf):  # real-codec media path (rows-only)
     """Deterministic BMP/WAV payloads → REAL decode + feature extraction
     (operators/multimodal.py, fake=False) → per-kind rollup.  Rows-only:
@@ -915,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_general": _shipped(_q_roundtrip_general),
         "roundtrip_float": _shipped(_q_roundtrip_float),
         "roundtrip_nulls": _shipped(_q_roundtrip_nulls),
+        "roundtrip_struct": _shipped(_q_roundtrip_struct),
         "multimodal_features": _shipped(_q_multimodal_features),
         "codec_manifest": _shipped(_q_codec_manifest),
     }
@@ -1058,6 +1098,25 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(sum(nw) AS BIGINT) AS nw_sum,"
             "  CAST(sum(list_aggregate(toks, 'sum')) AS BIGINT) AS tok_sum"
             " FROM t WHERE nw >= 10 GROUP BY source"
+        ),
+        # roundtrip_struct: aggregates over shredded struct fields must
+        # equal DuckDB computing the same values from raw scalar exprs
+        # (struct-level null ⇒ every field observes NULL).
+        "roundtrip_struct": (
+            "WITH t AS (SELECT"
+            "  CASE WHEN n_chars % 13 = 0 THEN NULL ELSE 1 END AS pres,"
+            "  CASE WHEN n_chars % 13 = 0 THEN NULL"
+            "   ELSE nullif(lang, 'en') END AS lang_v,"
+            "  CASE WHEN n_chars % 13 = 0 THEN NULL"
+            "   ELSE CAST(n_chars AS DOUBLE) * 0.5 END AS score_v,"
+            "  CASE WHEN n_chars % 13 = 0 THEN NULL"
+            "   ELSE CAST(n_chars % 100 AS INT) END AS nw_v,"
+            "  source FROM documents)"
+            " SELECT source, count(*) AS n_rows, count(pres) AS n_meta,"
+            "  count(lang_v) AS n_lang,"
+            "  CAST(sum(nw_v) AS BIGINT) AS nw_sum,"
+            "  sum(score_v) AS score_sum"
+            " FROM t GROUP BY source"
         ),
         "roundtrip_token_pruned": (
             "SELECT source, count(*) AS n_docs,"

@@ -21,7 +21,13 @@ import pyarrow.compute as pc
 
 from ..kernels import crc32, decode_any
 from . import fsio, pafs
-from .encode import DEFAULT_SCHEMA, list_payload_names, physical_cols
+from .encode import (
+    DEFAULT_SCHEMA,
+    list_payload_names,
+    physical_cols,
+    struct_fields,
+    struct_payload_names,
+)
 
 TOKEN_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
 
@@ -37,10 +43,15 @@ _FLOAT_TYPE = {"float32": (np.uint32, np.float32, pa.float32),
 
 def _physical_map(schema) -> dict[str, tuple[str, ...]]:
     """Logical output column → physical payload rows it needs."""
-    return {
-        name: (list_payload_names(name) if kind.startswith("list") else (name,))
-        for name, kind in schema
-    }
+    out = {}
+    for name, kind in schema:
+        if kind.startswith("list"):
+            out[name] = list_payload_names(name)
+        elif kind.startswith("struct"):
+            out[name] = struct_payload_names(name, kind)
+        else:
+            out[name] = (name,)
+    return out
 
 
 def _bound_types(kind: str) -> tuple[tuple, str]:
@@ -52,9 +63,18 @@ def _bound_types(kind: str) -> tuple[tuple, str]:
     return (int,), "int"
 
 
+def _ddl_type(kind: str) -> str:
+    if kind.startswith("struct"):
+        inner = ", ".join(
+            f"{f}: {_DDL_TYPE[k]}" for f, k in struct_fields(kind)
+        )
+        return f"struct<{inner}>"
+    return _DDL_TYPE[kind]
+
+
 def _select_ddl(columns: list[str], schema) -> str:
     kinds = dict(schema)
-    return ", ".join(f"{c} {_DDL_TYPE[kinds[c]]}" for c in columns)
+    return ", ".join(f"{c} {_ddl_type(kinds[c])}" for c in columns)
 
 
 def store_schema(spark, out_dir: str) -> list[tuple[str, str]]:
@@ -169,6 +189,49 @@ def decode_chunk_table(tbl: pa.Table, columns: list[str] | None = None,
                 )
             else:
                 out[c] = pa.array(arr, type=pa_t())
+        elif kind.startswith("struct"):
+            # shredded struct reassembly: children from their own payloads
+            # (each with its own validity), struct-level validity from the
+            # 0/1 present column
+            pres = cols[f"{c}__present"].astype(np.bool_, copy=False)
+            n_s = len(pres)
+            children, fields = [], []
+            for fname, fkind in struct_fields(kind):
+                p = f"{c}__{fname}"
+                if fkind in _INT_TYPE:
+                    np_t, pa_t = _INT_TYPE[fkind]
+                    a = np.ascontiguousarray(cols[p].astype(np_t, copy=False))
+                    child = pa.Array.from_buffers(
+                        pa_t(), len(a),
+                        [_vbuf(p), pa.py_buffer(a.tobytes())],
+                    )
+                elif fkind in _FLOAT_TYPE:
+                    u_t, f_t, pa_t = _FLOAT_TYPE[fkind]
+                    a = np.ascontiguousarray(
+                        cols[p].astype(u_t, copy=False)
+                    ).view(f_t)
+                    child = pa.Array.from_buffers(
+                        pa_t(), len(a),
+                        [_vbuf(p), pa.py_buffer(a.tobytes())],
+                    )
+                else:  # str
+                    child = cols[p].to_arrow()
+                    if p in valid_bufs:
+                        bufs = child.buffers()
+                        child = pa.Array.from_buffers(
+                            child.type, len(child),
+                            [_vbuf(p), bufs[1], bufs[2]],
+                        )
+                children.append(child)
+                fields.append(pa.field(fname, child.type))
+            pbuf = (
+                None if bool(pres.all()) else pa.py_buffer(
+                    np.packbits(pres, bitorder="little").tobytes()
+                )
+            )
+            out[c] = pa.Array.from_buffers(
+                pa.struct(fields), n_s, [pbuf], children=children
+            )
         else:
             arr = cols[c].to_arrow()
             if c in valid_bufs:
@@ -482,6 +545,11 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
             )
         if not isinstance(rng, (tuple, list)) or len(rng) != 2:
             raise TypeError(f"ranges[{colname!r}] must be a (lo, hi) pair")
+        if kinds[colname].startswith("struct"):
+            raise ValueError(
+                f"predicates on struct column {colname!r} are not "
+                "supported; filter on a shredded field after decode"
+            )
         want, want_name = _bound_types(kinds[colname])
         if any(b is not None and not isinstance(b, want) for b in rng):
             raise TypeError(
@@ -498,6 +566,11 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
             raise ValueError(
                 f"isin is not supported on list column {colname!r}; use a "
                 "ranges containment predicate"
+            )
+        if kinds[colname].startswith("struct"):
+            raise ValueError(
+                f"predicates on struct column {colname!r} are not "
+                "supported; filter on a shredded field after decode"
             )
         want, want_name = _bound_types(kinds[colname])
         if not vals or any(not isinstance(v, want) for v in vals):

@@ -121,11 +121,33 @@ def list_payload_names(name: str) -> tuple[str, str]:
     return f"{name}__values", f"{name}__offsets"
 
 
+def struct_fields(kind: str) -> list[tuple[str, str]]:
+    """Parse a ``struct<f1:k1,f2:k2>`` kind string → [(field, kind), ...].
+
+    One level of struct shredding (round 5): the engine analog of the
+    reference's recursive struct decode (`src/orc/col.clj:83-92`) — each
+    scalar field becomes its own payload column, so field access at decode
+    is a column prune, not a row pivot."""
+    inner = kind[len("struct<"):-1]
+    return [tuple(p.split(":", 1)) for p in inner.split(",") if p]
+
+
+def struct_payload_names(name: str, kind: str) -> tuple[str, ...]:
+    """Physical payload columns backing a struct column: one ``name__field``
+    per shredded field plus ``name__present`` (struct-level validity as a
+    0/1 column — RLE crushes it to a few bytes on mostly-valid data)."""
+    return tuple(f"{name}__{f}" for f, _ in struct_fields(kind)) + (
+        f"{name}__present",
+    )
+
+
 def physical_cols(schema) -> tuple[str, ...]:
     out: list[str] = []
     for name, kind in schema:
         if kind.startswith("list"):
             out.extend(list_payload_names(name))
+        elif kind.startswith("struct"):
+            out.extend(struct_payload_names(name, kind))
         else:
             out.append(name)
     return tuple(out)
@@ -137,19 +159,47 @@ def derive_schema(arrow_schema) -> list[tuple[str, str]]:
     (`src/orc/col.clj:200-203`)."""
     import pyarrow as _pa
 
+    def scalar_kind(t) -> str | None:
+        if _pa.types.is_string(t) or _pa.types.is_large_string(t):
+            return "str"
+        if t in (_pa.int32(), _pa.int16(), _pa.int8()):
+            return "int32"
+        if t == _pa.int64():
+            return "int64"
+        if t == _pa.float32():
+            return "float32"
+        if t == _pa.float64():
+            return "float64"
+        return None
+
     out: list[tuple[str, str]] = []
     for field in arrow_schema:
         t = field.type
-        if _pa.types.is_string(t) or _pa.types.is_large_string(t):
-            out.append((field.name, "str"))
-        elif t in (_pa.int32(), _pa.int16(), _pa.int8()):
-            out.append((field.name, "int32"))
-        elif t == _pa.int64():
-            out.append((field.name, "int64"))
-        elif t == _pa.float32():
-            out.append((field.name, "float32"))
-        elif t == _pa.float64():
-            out.append((field.name, "float64"))
+        sk = scalar_kind(t)
+        if sk is not None:
+            out.append((field.name, sk))
+        elif _pa.types.is_struct(t):
+            fks = []
+            for i in range(t.num_fields):
+                f = t.field(i)
+                fk = scalar_kind(f.type)
+                if fk is None:
+                    raise ValueError(
+                        f"unsupported struct field type {f.type} for "
+                        f"{field.name}.{f.name}: struct shredding takes one "
+                        "level of scalar fields (str/int/float)"
+                    )
+                if ":" in f.name or "," in f.name:
+                    raise ValueError(
+                        f"struct field name {f.name!r} may not contain "
+                        "':' or ',' (kind-string delimiters)"
+                    )
+                fks.append(f"{f.name}:{fk}")
+            if not fks:
+                raise ValueError(
+                    f"cannot encode empty struct column {field.name!r}"
+                )
+            out.append((field.name, f"struct<{','.join(fks)}>"))
         elif _pa.types.is_list(t) or _pa.types.is_large_list(t):
             vt = t.value_type
             if vt in (_pa.int32(), _pa.int16(), _pa.int8()):
@@ -165,10 +215,16 @@ def derive_schema(arrow_schema) -> list[tuple[str, str]]:
             raise ValueError(
                 f"unsupported column type {t} for {field.name!r}: engine "
                 "schemas are flat str/int32/int64/float/double/"
-                "array<int>/array<bigint>"
+                "array<int>/array<bigint>/struct<scalar fields>"
             )
     if not out:
         raise ValueError("cannot encode an empty schema")
+    phys = physical_cols(out)
+    if len(set(phys)) != len(phys):
+        raise ValueError(
+            "physical payload name collision (a column named like another "
+            f"column's shredded field?): {sorted(phys)}"
+        )
     return out
 
 
@@ -263,6 +319,63 @@ def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int,
                 # maps (Spark sorts NaN greatest) — stat-less chunks are
                 # conservatively kept by the pruner
                 mm[name] = {"min": None, "max": None}
+        elif kind.startswith("struct"):
+            # STRUCT SHREDDING (round 5): one payload column per scalar
+            # field + a 0/1 present column for struct-level validity.
+            # Field validity stored per child = child-valid AND parent-valid
+            # (a value under a null parent is not observable data — and its
+            # Arrow buffer bytes are unspecified, so zero them for
+            # deterministic payloads).
+            col_s = tbl.column(name).combine_chunks()
+            pvalid = np.asarray(col_s.is_valid()) if nulls else None
+            pres = (
+                pvalid if pvalid is not None else np.ones(n, dtype=bool)
+            ).astype(np.int32)
+            pres_name = f"{name}__present"
+            columns[pres_name] = (pres, "int", pres.nbytes)
+            valids[pres_name] = None
+            mm[pres_name] = {
+                "min": int(pres.min()) if n else None,
+                "max": int(pres.max()) if n else None,
+            }
+            for fi, (fname, fkind) in enumerate(struct_fields(kind)):
+                child = pc.struct_field(col_s, fi)
+                p_name = f"{name}__{fname}"
+                v = np.asarray(child.is_valid())
+                if pvalid is not None:
+                    v &= pvalid
+                all_valid = bool(v.all()) if n else True
+                masked = child if all_valid else pc.if_else(
+                    pa.array(v), child, pa.scalar(None, child.type)
+                )
+                valids[p_name] = None if all_valid else v
+                lohi = pc.min_max(masked)  # skips nulls
+                f_mn, f_mx = lohi["min"].as_py(), lohi["max"].as_py()
+                if fkind == "str":
+                    columns[p_name] = (
+                        StringCol.from_arrow(pc.fill_null(masked, "")),
+                        "str", 0,
+                    )
+                    mm[p_name] = {"min": f_mn, "max": f_mx}
+                elif fkind in ("int32", "int64"):
+                    arr = np.asarray(
+                        pc.fill_null(masked, 0), dtype=_KIND_NP[fkind]
+                    )
+                    columns[p_name] = (arr, "int", arr.nbytes)
+                    mm[p_name] = {"min": f_mn, "max": f_mx}
+                else:  # float32 / float64
+                    arr = np.asarray(
+                        pc.fill_null(masked, 0.0), dtype=_KIND_NP[fkind]
+                    )
+                    fin = arr if all_valid else arr[v]
+                    columns[p_name] = (
+                        arr.view(_FLOAT_U[fkind]), "float", arr.nbytes
+                    )
+                    if len(fin) and bool(np.isfinite(fin).all()):
+                        mm[p_name] = {"min": float(fin.min()),
+                                      "max": float(fin.max())}
+                    else:
+                        mm[p_name] = {"min": None, "max": None}
         else:  # list32 / list64
             v_name, o_name = list_payload_names(name)
             vals_nulls = (
@@ -568,6 +681,20 @@ def _row_weight_csum(tbl: pa.Table, schema) -> np.ndarray:
                 dtype=np.int64,
             ) + 8
             w = slens if w is None else w + slens
+        elif kind.startswith("struct"):
+            scalar_bytes += 1  # the 0/1 present column
+            col_s = tbl.column(name).combine_chunks()
+            for fi, (_fname, fkind) in enumerate(struct_fields(kind)):
+                if fkind == "str":
+                    slens = np.asarray(
+                        pc.fill_null(
+                            pc.binary_length(pc.struct_field(col_s, fi)), 0
+                        ),
+                        dtype=np.int64,
+                    ) + 8
+                    w = slens if w is None else w + slens
+                else:
+                    scalar_bytes += _KIND_NP[fkind]().itemsize
         else:
             scalar_bytes += _KIND_NP[kind]().itemsize
     if w is None:

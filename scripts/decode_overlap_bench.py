@@ -6,7 +6,12 @@ Encodes a large token table once, then decodes ALL chunk files in ONE task
 time and raw MB/s for both plus the delta — the decode-side mirror of the
 encode overlap measurement in BENCH.md (round 4, +19%).
 
-Usage: python scripts/decode_overlap_bench.py [n_rows] [reps]
+Usage: python scripts/decode_overlap_bench.py [n_rows] [reps] [--cold]
+
+``--cold`` drops the page cache (sync; /proc/sys/vm/drop_caches) before
+every timed run — the regime that resembles production reads (encoded
+chunks are NOT in any cache at 100 TB); warm-cache runs measure the
+kernel-bound floor where reads cost ~nothing and overlap can't help.
 """
 
 from __future__ import annotations
@@ -21,8 +26,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    args = [a for a in sys.argv[1:] if a != "--cold"]
+    cold = "--cold" in sys.argv[1:]
+    n_rows = int(args[0]) if args else 2_000_000
+    reps = int(args[1]) if len(args) > 1 else 3
+
+    def drop_caches() -> None:
+        if not cold:
+            return
+        os.sync()
+        with open("/proc/sys/vm/drop_caches", "w") as fh:
+            fh.write("3")
 
     from clj_orc_spark.datagen import write_token_table
     from clj_orc_spark.session import get_spark
@@ -74,6 +88,7 @@ def main() -> None:
                 spark.sparkContext.parallelize(
                     [(f, None) for f in chunk_files], 1),  # ONE task
                 "path string, cids string")
+            drop_caches()
             t0 = time.monotonic()
             n = w.mapInArrow(dec, ddl).count()
             dt = time.monotonic() - t0
