@@ -861,6 +861,75 @@ def _q_roundtrip_struct(spark, sf):
     )
 
 
+def _q_roundtrip_temporal(spark, sf):
+    """TEMPORAL engine round-trip under the oracle (round 5): the events
+    table's timestamp column goes through encode → decode WITH a time-range
+    predicate (micros-since-epoch bounds — the storage unit the zone maps
+    hold; chunk pruning on time is THE canonical 100 TB log-scan), and
+    formatted min/max + aggregates must equal DuckDB on the raw table."""
+    import shutil
+
+    from clj_orc_spark.pipeline import decode, encode
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    base = (f"/tmp/clj-orc-roundtrip-ts-"
+            f"{os.path.basename(os.path.normpath(sf))}-"
+            f"{spark.sparkContext.applicationId}")
+    src, out = base + "-src", base + "-store"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    ev.write.parquet(src)
+    encode(spark, src, out, n_partitions=4, resume=False)
+    cut_us = 1_705_276_800_000_000  # 2024-01-15 00:00:00
+    dec = decode(spark, out, ranges={"ts": (cut_us, None)})
+    return dec.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("ts_min"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("ts_max"),
+        F.round(F.sum(F.coalesce("value", F.lit(0.0))), 3).alias("v_sum"),
+    )
+
+
+def _q_roundtrip_map(spark, sf):
+    """MAP-SHREDDING round-trip under the oracle (round 5): a map column
+    (NULL maps, NULL values inside maps) goes through encode → decode, and
+    element_at aggregates must equal DuckDB computing the same values from
+    the raw scalar expressions."""
+    import shutil
+
+    from clj_orc_spark.pipeline import decode, encode
+
+    src_df = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "CAST(doc_id AS string) AS doc_id",
+        "CASE WHEN n_chars % 11 = 0 THEN CAST(NULL AS map<string,bigint>)"
+        " ELSE map("
+        "  'chars', CAST(n_chars AS bigint),"
+        "  'mod', CASE WHEN n_chars % 5 = 0 THEN CAST(NULL AS bigint)"
+        "         ELSE CAST(n_chars % 97 AS bigint) END) END AS m",
+        "source",
+    )
+    base = (f"/tmp/clj-orc-roundtrip-map-"
+            f"{os.path.basename(os.path.normpath(sf))}-"
+            f"{spark.sparkContext.applicationId}")
+    src, out = base + "-src", base + "-store"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    src_df.write.parquet(src)
+    encode(spark, src, out, n_partitions=4, resume=False)
+    dec = decode(spark, out)
+    return dec.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("m").alias("n_maps"),
+        F.sum(F.size("m").cast("long")).alias("entry_sum"),
+        F.sum(F.element_at("m", "chars")).alias("chars_sum"),
+        F.sum(F.element_at("m", "mod")).alias("mod_sum"),
+    )
+
+
 def _q_multimodal_features(spark, sf):  # real-codec media path (rows-only)
     """Deterministic BMP/WAV payloads → REAL decode + feature extraction
     (operators/multimodal.py, fake=False) → per-kind rollup.  Rows-only:
@@ -955,6 +1024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_float": _shipped(_q_roundtrip_float),
         "roundtrip_nulls": _shipped(_q_roundtrip_nulls),
         "roundtrip_struct": _shipped(_q_roundtrip_struct),
+        "roundtrip_temporal": _shipped(_q_roundtrip_temporal),
+        "roundtrip_map": _shipped(_q_roundtrip_map),
         "multimodal_features": _shipped(_q_multimodal_features),
         "codec_manifest": _shipped(_q_codec_manifest),
     }
@@ -1116,6 +1187,35 @@ def oracle_sql() -> dict[str, str]:
             "  count(lang_v) AS n_lang,"
             "  CAST(sum(nw_v) AS BIGINT) AS nw_sum,"
             "  sum(score_v) AS score_sum"
+            " FROM t GROUP BY source"
+        ),
+        # roundtrip_temporal: decoded timestamps under a micros range
+        # predicate must aggregate exactly like the raw table under the
+        # equivalent WHERE.
+        "roundtrip_temporal": (
+            "SELECT event_type, count(*) AS n_events,"
+            " strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS ts_min,"
+            " strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS ts_max,"
+            " round(sum(coalesce(value, 0.0)), 3) AS v_sum"
+            " FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'"
+            " GROUP BY event_type"
+        ),
+        # roundtrip_map: element_at over the decoded map must equal the raw
+        # scalar expressions (NULL map ⇒ every lookup NULL; NULL value
+        # inside the map still counts as an entry).
+        "roundtrip_map": (
+            "WITH t AS (SELECT"
+            "  CASE WHEN n_chars % 11 = 0 THEN NULL ELSE 1 END AS pres,"
+            "  CASE WHEN n_chars % 11 = 0 THEN NULL"
+            "   ELSE CAST(n_chars AS BIGINT) END AS chars_v,"
+            "  CASE WHEN n_chars % 11 = 0 OR n_chars % 5 = 0 THEN NULL"
+            "   ELSE CAST(n_chars % 97 AS BIGINT) END AS mod_v,"
+            "  source FROM documents)"
+            " SELECT source, count(*) AS n_rows, count(pres) AS n_maps,"
+            "  CAST(sum(CASE WHEN pres = 1 THEN 2 END) AS BIGINT)"
+            "   AS entry_sum,"
+            "  CAST(sum(chars_v) AS BIGINT) AS chars_sum,"
+            "  CAST(sum(mod_v) AS BIGINT) AS mod_sum"
             " FROM t GROUP BY source"
         ),
         "roundtrip_token_pruned": (

@@ -24,6 +24,8 @@ from . import fsio, pafs
 from .encode import (
     DEFAULT_SCHEMA,
     list_payload_names,
+    map_kinds,
+    map_payload_names,
     physical_cols,
     struct_fields,
     struct_payload_names,
@@ -33,9 +35,19 @@ TOKEN_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
 
 _DDL_TYPE = {"str": "string", "int32": "int", "int64": "bigint",
              "float32": "float", "float64": "double",
-             "list32": "array<int>", "list64": "array<bigint>"}
+             "list32": "array<int>", "list64": "array<bigint>",
+             "date32": "date", "ts_us": "timestamp_ntz",
+             "ts_us_utc": "timestamp"}
 _LIST_VALUE_TYPE = {"list32": pa.int32, "list64": pa.int64}
-_INT_TYPE = {"int32": (np.int32, pa.int32), "int64": (np.int64, pa.int64)}
+#: int-storage kinds → (numpy storage dtype, arrow type factory).  Temporal
+#: kinds share the int path: same storage bytes, the arrow type restores
+#: date/timestamp semantics exactly (days / micros reinterpret).
+_INT_TYPE = {
+    "int32": (np.int32, pa.int32), "int64": (np.int64, pa.int64),
+    "date32": (np.int32, pa.date32),
+    "ts_us": (np.int64, lambda: pa.timestamp("us")),
+    "ts_us_utc": (np.int64, lambda: pa.timestamp("us", tz="UTC")),
+}
 #: float kind → (unsigned bit-pattern dtype, float dtype, arrow type)
 _FLOAT_TYPE = {"float32": (np.uint32, np.float32, pa.float32),
                "float64": (np.uint64, np.float64, pa.float64)}
@@ -49,6 +61,8 @@ def _physical_map(schema) -> dict[str, tuple[str, ...]]:
             out[name] = list_payload_names(name)
         elif kind.startswith("struct"):
             out[name] = struct_payload_names(name, kind)
+        elif kind.startswith("map"):
+            out[name] = map_payload_names(name)
         else:
             out[name] = (name,)
     return out
@@ -69,6 +83,9 @@ def _ddl_type(kind: str) -> str:
             f"{f}: {_DDL_TYPE[k]}" for f, k in struct_fields(kind)
         )
         return f"struct<{inner}>"
+    if kind.startswith("map"):
+        kk, vk = map_kinds(kind)
+        return f"map<{_DDL_TYPE[kk]}, {_DDL_TYPE[vk]}>"
     return _DDL_TYPE[kind]
 
 
@@ -132,6 +149,32 @@ def decode_chunk_table(tbl: pa.Table, columns: list[str] | None = None,
     def _vbuf(name: str):
         vb = valid_bufs.get(name)
         return pa.py_buffer(vb) if vb is not None else None
+
+    def _scalar_arr(p: str, fk: str) -> pa.Array:
+        """Reassemble one flat scalar payload (struct field / map child)
+        with its validity bitmap; temporal kinds restore their arrow type
+        over the same storage bytes."""
+        if fk in _INT_TYPE:
+            np_t, pa_t = _INT_TYPE[fk]
+            a = np.ascontiguousarray(cols[p].astype(np_t, copy=False))
+            return pa.Array.from_buffers(
+                pa_t(), len(a), [_vbuf(p), pa.py_buffer(a.tobytes())]
+            )
+        if fk in _FLOAT_TYPE:
+            u_t, f_t, pa_t = _FLOAT_TYPE[fk]
+            a = np.ascontiguousarray(
+                cols[p].astype(u_t, copy=False)
+            ).view(f_t)
+            return pa.Array.from_buffers(
+                pa_t(), len(a), [_vbuf(p), pa.py_buffer(a.tobytes())]
+            )
+        arr = cols[p].to_arrow()  # str
+        if p in valid_bufs:
+            bufs = arr.buffers()
+            arr = pa.Array.from_buffers(
+                arr.type, len(arr), [_vbuf(p), bufs[1], bufs[2]]
+            )
+        return arr
 
     out = {}
     for c in wanted:
@@ -197,31 +240,7 @@ def decode_chunk_table(tbl: pa.Table, columns: list[str] | None = None,
             n_s = len(pres)
             children, fields = [], []
             for fname, fkind in struct_fields(kind):
-                p = f"{c}__{fname}"
-                if fkind in _INT_TYPE:
-                    np_t, pa_t = _INT_TYPE[fkind]
-                    a = np.ascontiguousarray(cols[p].astype(np_t, copy=False))
-                    child = pa.Array.from_buffers(
-                        pa_t(), len(a),
-                        [_vbuf(p), pa.py_buffer(a.tobytes())],
-                    )
-                elif fkind in _FLOAT_TYPE:
-                    u_t, f_t, pa_t = _FLOAT_TYPE[fkind]
-                    a = np.ascontiguousarray(
-                        cols[p].astype(u_t, copy=False)
-                    ).view(f_t)
-                    child = pa.Array.from_buffers(
-                        pa_t(), len(a),
-                        [_vbuf(p), pa.py_buffer(a.tobytes())],
-                    )
-                else:  # str
-                    child = cols[p].to_arrow()
-                    if p in valid_bufs:
-                        bufs = child.buffers()
-                        child = pa.Array.from_buffers(
-                            child.type, len(child),
-                            [_vbuf(p), bufs[1], bufs[2]],
-                        )
+                child = _scalar_arr(f"{c}__{fname}", fkind)
                 children.append(child)
                 fields.append(pa.field(fname, child.type))
             pbuf = (
@@ -231,6 +250,31 @@ def decode_chunk_table(tbl: pa.Table, columns: list[str] | None = None,
             )
             out[c] = pa.Array.from_buffers(
                 pa.struct(fields), n_s, [pbuf], children=children
+            )
+        elif kind.startswith("map"):
+            # shredded map reassembly: keys/values children + offsets
+            # index; map-level validity from the offsets payload bitmap
+            kk, vk = map_kinds(kind)
+            k_name, v_name, o_name = map_payload_names(c)
+            offsets = cols[o_name].astype(np.int64, copy=False)
+            n_m = len(offsets) - 1
+            if n_m and int(offsets[-1]) > np.iinfo(np.int32).max:
+                raise IOError(
+                    f"chunk holds {int(offsets[-1])} map entries, beyond "
+                    "int32 offsets; re-encode with smaller chunk_bytes"
+                )
+            keys_arr = _scalar_arr(k_name, kk)
+            vals_arr = _scalar_arr(v_name, vk)
+            ef = [pa.field("key", keys_arr.type, nullable=False),
+                  pa.field("value", vals_arr.type)]
+            entries = pa.StructArray.from_arrays(
+                [keys_arr, vals_arr], fields=ef
+            )
+            out[c] = pa.Array.from_buffers(
+                pa.map_(ef[0], ef[1]), n_m,
+                [_vbuf(o_name),
+                 pa.py_buffer(offsets.astype(np.int32).tobytes())],
+                children=[entries],
             )
         else:
             arr = cols[c].to_arrow()
@@ -406,7 +450,7 @@ def decode_plan_report(spark, out_dir: str,
             return "string"
         if kind in ("float32", "float64"):
             return "double"
-        return "long" if kind in ("int64", "list32", "list64") else "int"
+        return "long" if kind in ("int64", "list32", "list64", "ts_us", "ts_us_utc") else "int"
 
     range_specs = []
     for colname, (lo, hi) in (ranges or {}).items():
@@ -545,9 +589,9 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
             )
         if not isinstance(rng, (tuple, list)) or len(rng) != 2:
             raise TypeError(f"ranges[{colname!r}] must be a (lo, hi) pair")
-        if kinds[colname].startswith("struct"):
+        if kinds[colname].startswith(("struct", "map")):
             raise ValueError(
-                f"predicates on struct column {colname!r} are not "
+                f"predicates on struct/map column {colname!r} are not "
                 "supported; filter on a shredded field after decode"
             )
         want, want_name = _bound_types(kinds[colname])
@@ -567,9 +611,9 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
                 f"isin is not supported on list column {colname!r}; use a "
                 "ranges containment predicate"
             )
-        if kinds[colname].startswith("struct"):
+        if kinds[colname].startswith(("struct", "map")):
             raise ValueError(
-                f"predicates on struct column {colname!r} are not "
+                f"predicates on struct/map column {colname!r} are not "
                 "supported; filter on a shredded field after decode"
             )
         want, want_name = _bound_types(kinds[colname])
@@ -611,17 +655,31 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
 
         return pred
 
+    def _pred_col(colname):
+        # temporal bounds are the STORAGE ints (days / micros) — the same
+        # unit the zone maps hold — so the exact filter compares on the
+        # storage view of the decoded column
+        kind = kinds[colname]
+        if kind == "date32":
+            return F.unix_date(F.col(colname))
+        if kind in ("ts_us", "ts_us_utc"):
+            return F.unix_micros(
+                F.col(colname).cast("timestamp")
+                if kind == "ts_us" else F.col(colname)
+            )
+        return F.col(colname)
+
     def exact_filter(df):
         for colname, (lo, hi) in ranges.items():
             if kinds[colname].startswith("list"):
                 df = df.where(F.exists(colname, _containment(lo, hi)))
             else:
                 if lo is not None:
-                    df = df.where(F.col(colname) >= F.lit(lo))
+                    df = df.where(_pred_col(colname) >= F.lit(lo))
                 if hi is not None:
-                    df = df.where(F.col(colname) <= F.lit(hi))
+                    df = df.where(_pred_col(colname) <= F.lit(hi))
         for colname, vals in isin.items():
-            df = df.where(F.col(colname).isin(list(vals)))
+            df = df.where(_pred_col(colname).isin(list(vals)))
         return df
 
     chunks_dir = os.path.join(out_dir, "chunks")
@@ -647,7 +705,7 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
             return "string"
         if kind in ("float32", "float64"):
             return "double"
-        return "long" if kind in ("int64", "list32", "list64") else "int"
+        return "long" if kind in ("int64", "list32", "list64", "ts_us", "ts_us_utc") else "int"
 
     range_specs = []
     for colname, (lo, hi) in ranges.items():

@@ -106,10 +106,30 @@ DEFAULT_SCHEMA = (
 
 _KIND_NP = {"int32": np.int32, "int64": np.int64,
             "float32": np.float32, "float64": np.float64,
-            "list32": np.int32, "list64": np.int64}
+            "list32": np.int32, "list64": np.int64,
+            "date32": np.int32, "ts_us": np.int64, "ts_us_utc": np.int64}
 
 #: float kind → the same-width unsigned view its bit patterns encode as
 _FLOAT_U = {"float32": np.uint32, "float64": np.uint64}
+
+#: temporal kind → the int kind its storage encodes as (bit-exact
+#: reinterpret: date32 = days since epoch, timestamp[us] = micros — the
+#: engine analog of the reference's :date/:timestamp dispatch entries,
+#: `src/orc/col.clj:162,171`, except values stay typed instead of being
+#: formatted to strings; delta/RLE/FOR codecs love days/micros)
+TEMPORAL_STORAGE = {"date32": "int32", "ts_us": "int64", "ts_us_utc": "int64"}
+
+
+def _temporal_to_storage(arr, kind: str):
+    """Temporal arrow column → its int storage (days / micros).  ns-unit
+    timestamps (how pyarrow reads Spark's INT96) normalize to micros via a
+    SAFE cast — genuinely sub-microsecond values raise instead of silently
+    truncating (Spark timestamps are micro-precision, so Spark-written data
+    always passes)."""
+    if kind == "date32":
+        return pc.cast(arr, pa.int32())
+    tz = "UTC" if kind == "ts_us_utc" else None
+    return pc.cast(pc.cast(arr, pa.timestamp("us", tz=tz)), pa.int64())
 
 
 def list_payload_names(name: str) -> tuple[str, str]:
@@ -141,6 +161,24 @@ def struct_payload_names(name: str, kind: str) -> tuple[str, ...]:
     )
 
 
+def map_kinds(kind: str) -> tuple[str, str]:
+    """Parse a ``map<kkind,vkind>`` kind string → (key kind, value kind).
+
+    Maps shred like lists-of-pairs (Arrow's own map layout): a flat keys
+    payload, a flat values payload, and an offsets index — the engine
+    analog of the reference's per-row map decode (`src/orc/col.clj:94-108`),
+    done once per chunk instead of once per cell."""
+    kk, vk = kind[len("map<"):-1].split(",", 1)
+    return kk, vk
+
+
+def map_payload_names(name: str) -> tuple[str, str, str]:
+    """Physical payload columns backing a map column: flattened keys,
+    flattened values, and the offsets index (which also carries the
+    map-level validity bitmap, exactly like list columns)."""
+    return f"{name}__keys", f"{name}__mapvalues", f"{name}__offsets"
+
+
 def physical_cols(schema) -> tuple[str, ...]:
     out: list[str] = []
     for name, kind in schema:
@@ -148,6 +186,8 @@ def physical_cols(schema) -> tuple[str, ...]:
             out.extend(list_payload_names(name))
         elif kind.startswith("struct"):
             out.extend(struct_payload_names(name, kind))
+        elif kind.startswith("map"):
+            out.extend(map_payload_names(name))
         else:
             out.append(name)
     return tuple(out)
@@ -170,6 +210,21 @@ def derive_schema(arrow_schema) -> list[tuple[str, str]]:
             return "float32"
         if t == _pa.float64():
             return "float64"
+        if t == _pa.date32():
+            return "date32"
+        if _pa.types.is_timestamp(t):
+            if t.unit not in ("us", "ns"):
+                raise ValueError(
+                    f"unsupported timestamp unit {t.unit!r}: parquet "
+                    "timestamps are micros (ns = INT96 reads, coerced "
+                    "losslessly); cast before encoding"
+                )
+            if t.tz not in (None, "UTC"):
+                raise ValueError(
+                    f"unsupported timestamp zone {t.tz!r}: store UTC "
+                    "(parquet isAdjustedToUTC) or naive; cast before encoding"
+                )
+            return "ts_us_utc" if t.tz else "ts_us"
         return None
 
     out: list[tuple[str, str]] = []
@@ -200,6 +255,20 @@ def derive_schema(arrow_schema) -> list[tuple[str, str]]:
                     f"cannot encode empty struct column {field.name!r}"
                 )
             out.append((field.name, f"struct<{','.join(fks)}>"))
+        elif _pa.types.is_map(t):
+            kk = scalar_kind(t.key_type)
+            vk = scalar_kind(t.item_type)
+            if kk is None or kk.startswith("float"):
+                raise ValueError(
+                    f"unsupported map key type {t.key_type} for column "
+                    f"{field.name!r}: keys shred as str/int/temporal"
+                )
+            if vk is None:
+                raise ValueError(
+                    f"unsupported map value type {t.item_type} for column "
+                    f"{field.name!r}: values shred as scalar kinds"
+                )
+            out.append((field.name, f"map<{kk},{vk}>"))
         elif _pa.types.is_list(t) or _pa.types.is_large_list(t):
             vt = t.value_type
             if vt in (_pa.int32(), _pa.int16(), _pa.int8()):
@@ -239,6 +308,48 @@ def _flatten_list(col, dtype) -> np.ndarray:
     return np.concatenate(parts) if parts else np.empty(0, dtype=dtype)
 
 
+def _scalar_payload(arr: pa.Array, kind: str):
+    """(col_obj, kindtag, raw_bytes, valid, mm) for one flat scalar payload
+    column (map keys / map values).  Caller casts temporal kinds to their
+    storage ints first; nulls get the standard validity-bitmap treatment
+    (zero/empty fill so payload bytes are deterministic)."""
+    nulls = arr.null_count
+    valid = np.asarray(arr.is_valid()) if nulls else None
+    if kind == "str":
+        col = StringCol.from_arrow(pc.fill_null(arr, "") if nulls else arr)
+        lohi = pc.min_max(arr)
+        return col, "str", 0, valid, {
+            "min": lohi["min"].as_py(), "max": lohi["max"].as_py()}
+    if kind in ("int32", "int64"):
+        a = np.asarray(
+            pc.fill_null(arr, 0) if nulls else arr, dtype=_KIND_NP[kind]
+        )
+        lohi = pc.min_max(arr)
+        return a, "int", a.nbytes, valid, {
+            "min": lohi["min"].as_py(), "max": lohi["max"].as_py()}
+    a = np.asarray(
+        pc.fill_null(arr, 0.0) if nulls else arr, dtype=_KIND_NP[kind]
+    )
+    fin = a[valid] if valid is not None else a
+    mmv = (
+        {"min": float(fin.min()), "max": float(fin.max())}
+        if len(fin) and bool(np.isfinite(fin).all())
+        else {"min": None, "max": None}
+    )
+    return a.view(_FLOAT_U[kind]), "float", a.nbytes, valid, mmv
+
+
+def _map_as_list(col_m: pa.Array) -> pa.Array:
+    """Zero-copy view of a MapArray as list<struct<key,value>> so the
+    list machinery (null-skipping flatten, list_value_length) applies."""
+    mt = col_m.type
+    return col_m.cast(pa.list_(pa.struct([
+        pa.field(mt.key_field.name, mt.key_field.type, nullable=False),
+        pa.field(mt.item_field.name, mt.item_field.type,
+                 nullable=mt.item_field.nullable),
+    ])))
+
+
 def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int,
                        cache: dict | None = None,
                        policy: str = "size",
@@ -267,20 +378,26 @@ def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int,
     valids: dict[str, np.ndarray | None] = {}
     mm: dict[str, dict] = {}
     for name, kind in schema:
-        col_c = tbl.column(name).combine_chunks() if (
-            tbl.column(name).null_count or kind.startswith("list")
+        col_raw = tbl.column(name)
+        if kind in TEMPORAL_STORAGE:
+            # exact reinterpret (days / micros) → the plain int path; the
+            # descriptor keeps the temporal kind so decode restores the
+            # Arrow type over the SAME storage values
+            col_raw = _temporal_to_storage(col_raw, kind)
+            kind = TEMPORAL_STORAGE[kind]
+        col_c = col_raw.combine_chunks() if (
+            col_raw.null_count or kind.startswith("list")
         ) else None
-        nulls = tbl.column(name).null_count
+        nulls = col_raw.null_count
         valid = np.asarray(col_c.is_valid()) if nulls else None
         if kind == "str":
-            arr_c = col_c if col_c is not None else tbl.column(
-                name).combine_chunks()
+            arr_c = col_c if col_c is not None else col_raw.combine_chunks()
             col = StringCol.from_arrow(
                 pc.fill_null(arr_c, "") if nulls else arr_c
             )
             columns[name] = (col, "str", 0)
             valids[name] = valid
-            lohi = pc.min_max(tbl.column(name))  # skips nulls
+            lohi = pc.min_max(col_raw)  # skips nulls
             mm[name] = {"min": lohi["min"].as_py(), "max": lohi["max"].as_py()}
         elif kind in ("int32", "int64"):
             if nulls:
@@ -289,7 +406,7 @@ def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int,
                 mn, mx = lohi["min"].as_py(), lohi["max"].as_py()
             else:
                 arr = np.asarray(
-                    tbl.column(name).combine_chunks(), dtype=_KIND_NP[kind]
+                    col_raw.combine_chunks(), dtype=_KIND_NP[kind]
                 )
                 mn = int(arr.min()) if n else None
                 mx = int(arr.max()) if n else None
@@ -304,7 +421,7 @@ def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int,
                 fin = arr[valid]
             else:
                 arr = np.asarray(
-                    tbl.column(name).combine_chunks(), dtype=_KIND_NP[kind]
+                    col_raw.combine_chunks(), dtype=_KIND_NP[kind]
                 )
                 fin = arr
             # kernels see the exact bit pattern (uint view) — NaN payload
@@ -340,6 +457,9 @@ def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int,
             }
             for fi, (fname, fkind) in enumerate(struct_fields(kind)):
                 child = pc.struct_field(col_s, fi)
+                if fkind in TEMPORAL_STORAGE:  # same reinterpret as top-level
+                    child = _temporal_to_storage(child, fkind)
+                    fkind = TEMPORAL_STORAGE[fkind]
                 p_name = f"{name}__{fname}"
                 v = np.asarray(child.is_valid())
                 if pvalid is not None:
@@ -376,6 +496,40 @@ def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int,
                                       "max": float(fin.max())}
                     else:
                         mm[p_name] = {"min": None, "max": None}
+        elif kind.startswith("map"):
+            # MAP SHREDDING (round 5): flat keys + flat values + offsets —
+            # Arrow's own map layout, chunk-vectorized (the reference walks
+            # map cells per row, `src/orc/col.clj:94-108`).  Null entries →
+            # length 0 (ghost values dropped by the list-view flatten);
+            # map-level validity rides on the offsets payload like lists.
+            kk, vk = map_kinds(kind)
+            k_name, v_name, o_name = map_payload_names(name)
+            col_l = _map_as_list(col_raw.combine_chunks())
+            entries = col_l.flatten()
+            lens = np.asarray(
+                pc.fill_null(pc.list_value_length(col_l), 0), dtype=np.int64
+            )
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=offsets[1:])
+            keys = pc.struct_field(entries, 0)
+            vals = pc.struct_field(entries, 1)
+            if keys.null_count:
+                raise ValueError(
+                    f"map column {name!r} holds null keys (Arrow forbids)"
+                )
+            for p_name, child, ck in (
+                (k_name, keys, kk), (v_name, vals, vk)
+            ):
+                if ck in TEMPORAL_STORAGE:
+                    child = _temporal_to_storage(child, ck)
+                    ck = TEMPORAL_STORAGE[ck]
+                obj, ktag, raw, v_, mmv = _scalar_payload(child, ck)
+                columns[p_name] = (obj, ktag, raw)
+                valids[p_name] = v_
+                mm[p_name] = mmv
+            columns[o_name] = (offsets, "int", offsets.nbytes)
+            valids[o_name] = valid
+            mm[o_name] = {"min": 0, "max": int(offsets[-1])}
         else:  # list32 / list64
             v_name, o_name = list_payload_names(name)
             vals_nulls = (
@@ -670,6 +824,17 @@ def _row_weight_csum(tbl: pa.Table, schema) -> np.ndarray:
                 pc.list_value_length(tbl.column(name)).combine_chunks(),
                 dtype=np.int64,
             ) * _KIND_NP[kind]().itemsize
+            w = lens if w is None else w + lens
+        elif kind.startswith("map"):
+            kk, vk = map_kinds(kind)
+            width = sum(  # str entries priced at 16 B (key/value average)
+                16 if k == "str"
+                else _KIND_NP[TEMPORAL_STORAGE.get(k, k)]().itemsize
+                for k in (kk, vk)
+            )
+            lens = np.asarray(pc.fill_null(pc.list_value_length(
+                _map_as_list(tbl.column(name).combine_chunks())
+            ), 0), dtype=np.int64) * width
             w = lens if w is None else w + lens
     if w is not None:
         return np.cumsum(w)

@@ -68,6 +68,14 @@ def get_spark(master: str | None = None, app_name: str = "clj-orc-spark") -> Spa
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # temporal predicates compare NTZ columns through a session-tz cast
+        # (decode._pred_col); pin UTC so days/micros bounds are machine-
+        # independent — also what a multi-executor cluster should run anyway
+        .config("spark.sql.session.timeZone", "UTC")
+        # write parquet TIMESTAMP_MICROS, not INT96: pyarrow reads INT96 as
+        # naive ns (tz-awareness lost), micros keep the isAdjustedToUTC flag
+        # the temporal kinds (ts_us vs ts_us_utc) are derived from
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.files.maxPartitionBytes", str(32 << 20))

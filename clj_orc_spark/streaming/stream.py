@@ -77,6 +77,8 @@ def stream_decode(
     reshuffled every payload byte once per micro-batch.  The encoder writes
     a chunk's column rows contiguously into one file and the file source
     assigns whole files to micro-batches, so per-file decode is complete.
+    Output is partitioned by ``_batch_id`` and each batch overwrites its own
+    partition, so foreachBatch's at-least-once replays are idempotent.
     """
     from ..pipeline.decode import (
         _physical_map,
@@ -134,7 +136,17 @@ def stream_decode(
             _plan_log.append(
                 decoded._jdf.queryExecution().executedPlan().toString()
             )
-        decoded.write.mode("append").parquet(sink_dir)
+        # idempotent under foreachBatch's at-least-once replays: each batch
+        # owns the _batch_id=N partition and a replay OVERWRITES it instead
+        # of appending duplicate rows (the decode-side mirror of
+        # stream_encode's batch-scoped part_id namespace)
+        (
+            decoded.withColumn("_batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(sink_dir)
+        )
 
     writer = (
         stream.writeStream.foreachBatch(handle_batch)

@@ -75,8 +75,10 @@ def test_schema_derivation():
     assert derive_schema(pa.schema([
         pa.field("f", pa.float32()), pa.field("d", pa.float64()),
     ])) == [("f", "float32"), ("d", "float64")]
+    # date32 is a supported temporal kind since round 5
+    # (test_temporal_map_schema.py); decimals stay a loud plan-time error
     with pytest.raises(ValueError, match="unsupported"):
-        derive_schema(pa.schema([pa.field("x", pa.date32())]))
+        derive_schema(pa.schema([pa.field("x", pa.decimal128(10, 2))]))
     with pytest.raises(ValueError, match="unsupported list value"):
         derive_schema(pa.schema([pa.field("x", pa.list_(pa.string()))]))
 
@@ -317,8 +319,10 @@ def test_stream_decode_general_schema(spark, store, tmp_path):
     q = stream_decode(spark, out, sink)
     q.awaitTermination(120)
     got = spark.read.parquet(sink)
+    # _batch_id = the replay-idempotency partition column (round 5)
     assert sorted(f.name for f in got.schema.fields) == sorted(
-        ["doc_id", "tokens", "n_tok", "source", "lang", "year", "uid", "spans"]
+        ["doc_id", "tokens", "n_tok", "source", "lang", "year", "uid",
+         "spans", "_batch_id"]
     )
     assert got.count() == N
     row = got.where(got.doc_id == "doc-00007").first()

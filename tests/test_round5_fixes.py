@@ -38,6 +38,41 @@ def test_stream_decode_plan_has_no_exchange(spark, token_table_dir, tmp_dir):
     assert v["bit_identical"] and v["total"] == 5_000, v
 
 
+def test_stream_decode_replay_is_idempotent(spark, token_table_dir, tmp_dir):
+    """foreachBatch is at-least-once: deleting the last commit marker and
+    restarting replays that batch.  The batch-owned ``_batch_id`` partition
+    overwrite must leave the sink WITHOUT duplicate rows (the old append
+    mode doubled the replayed batch)."""
+    import shutil
+
+    from clj_orc_spark.streaming import stream_decode
+
+    src = os.path.join(token_table_dir, "tokens.parquet")
+    out = os.path.join(tmp_dir, "enc")
+    encode(spark, src, out, n_partitions=4)
+
+    sink = os.path.join(tmp_dir, "decoded")
+    q = stream_decode(spark, out, sink, max_files_per_trigger=2)
+    q.awaitTermination(120)
+    q.stop()  # fully release the checkpoint before the restart below
+    n_first = spark.read.parquet(sink).count()
+
+    # simulate a crash after processing but before the commit marker
+    commits = os.path.join(sink, "_checkpoint", "commits")
+    last = max(int(f) for f in os.listdir(commits) if not f.startswith("."))
+    os.remove(os.path.join(commits, str(last)))
+    crc = os.path.join(commits, f".{last}.crc")  # hadoop checksum sidecar
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = stream_decode(spark, out, sink, max_files_per_trigger=2)
+    q2.awaitTermination(120)
+
+    replayed = spark.read.parquet(sink)
+    assert replayed.count() == n_first == 5_000
+    v = verify_roundtrip(spark.read.parquet(src), replayed)
+    assert v["bit_identical"], v
+
+
 def test_build_ivf_index_never_counts(spark, tmp_dir, monkeypatch):
     """VERDICT r4 item 7: with n_rows supplied (parquet footers / table
     manifest at 100 TB), no code path may fall back to a full count() scan."""

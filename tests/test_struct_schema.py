@@ -139,9 +139,9 @@ def test_struct_column_pruning_and_predicates(spark, store):
         1 for v in tbl["meta"].to_pylist()
         if v is not None and v["lang"] is not None
     )
-    with pytest.raises(ValueError, match="struct column"):
+    with pytest.raises(ValueError, match="struct/map column"):
         decode(spark, out, ranges={"meta": (1, 2)})
-    with pytest.raises(ValueError, match="struct column"):
+    with pytest.raises(ValueError, match="struct/map column"):
         decode(spark, out, isin={"meta": ["x"]})
 
 
