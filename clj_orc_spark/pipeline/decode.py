@@ -478,7 +478,8 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
            source_in: list[str] | None = None,
            token_range: tuple | None = None,
            ranges: dict | None = None,
-           isin: dict | None = None):
+           isin: dict | None = None,
+           prefetch: bool | None = None):
     """Distributed decode: chunk rows → token-table DataFrame.
 
     ``mode="files"`` (default, the scale path): one task per encoded chunk
@@ -738,7 +739,16 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
         and len(needed_cols) < len(physical_cols(schema))
     )
 
-    decode_files = make_files_decoder(columns, schema, needed_cols, prune_cols)
+    # read/decode overlap pays where reads are REAL (object store / cold
+    # disk: +11.5% single-task, BENCH.md); on a saturated local box the
+    # extra reader thread per task is pure contention (62 tasks / 32 cores:
+    # 3.4 s serial vs 3.7–6.1 s overlapped).  Auto: overlap iff the store
+    # is scheme-qualified (remote I/O latency to hide), override with
+    # ``prefetch=``.
+    if prefetch is None:
+        prefetch = "://" in out_dir
+    decode_files = make_files_decoder(columns, schema, needed_cols,
+                                      prune_cols, prefetch=prefetch)
 
     # each task receives its OWN file path as data — a closure over the full
     # file list would ship every task a copy of all paths (millions at 100 TB)

@@ -98,7 +98,10 @@ def stream_decode(
         p for c in (name for name, _ in schema)
         for p in _physical_map(schema)[c]
     })
-    decoder = make_files_decoder(None, schema, needed, False)
+    # overlap reads only for remote stores (see decode(): local saturated
+    # cores lose to the extra reader thread, object stores win)
+    decoder = make_files_decoder(None, schema, needed, False,
+                                 prefetch="://" in out_dir)
 
     stream = (
         spark.readStream.schema(static_schema)
