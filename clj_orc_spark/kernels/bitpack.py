@@ -30,6 +30,9 @@ from .base import (
 )
 
 _FAST_WIDTH_DTYPE = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}
+#: little-endian platform → byte-matrix uint32 view fast path in unpack_bits
+_LE = np.dtype(np.uint32).byteorder in ("<", "=") and __import__(
+    "sys").byteorder == "little"
 
 
 def pack_bits(values: np.ndarray, width: int) -> bytes:
@@ -102,12 +105,24 @@ def unpack_bits(buf: bytes, width: int, n: int, narrow: bool = False) -> np.ndar
         need = int(byte[-1]) + 4 if n else 4
         if len(b) < need:
             b = np.concatenate([b, np.zeros(need - len(b), dtype=np.uint8)])
-        w32 = (
-            b[byte].astype(np.uint32)
-            | (b[byte + 1].astype(np.uint32) << np.uint32(8))
-            | (b[byte + 2].astype(np.uint32) << np.uint32(16))
-            | (b[byte + 3].astype(np.uint32) << np.uint32(24))
-        )
+        if _LE:
+            # gather the 4 window bytes into one (n,4) buffer and VIEW it
+            # as uint32: same values as the shift/or ladder below, ~60%
+            # less temporary-buffer traffic (matters when 32 cores share
+            # one memory bus)
+            m = np.empty((n, 4), dtype=np.uint8)
+            m[:, 0] = b[byte]
+            m[:, 1] = b[byte + 1]
+            m[:, 2] = b[byte + 2]
+            m[:, 3] = b[byte + 3]
+            w32 = m.view(np.uint32).ravel()
+        else:
+            w32 = (
+                b[byte].astype(np.uint32)
+                | (b[byte + 1].astype(np.uint32) << np.uint32(8))
+                | (b[byte + 2].astype(np.uint32) << np.uint32(16))
+                | (b[byte + 3].astype(np.uint32) << np.uint32(24))
+            )
         vals = (w32 >> (bitpos & 7).astype(np.uint32)) & np.uint32(
             (1 << width) - 1
         )
@@ -368,10 +383,27 @@ class PatchedFor:
         n_exc = meta["n_exc"]
         if n_exc:
             if meta.get("pos_kind") == "bitmap":
-                bits = np.unpackbits(
-                    np.frombuffer(pos_b, dtype=np.uint8), count=n, bitorder="little"
-                )
-                idx = np.flatnonzero(bits)
+                # density-adaptive bitmap scan.  The encoder picks bitmap
+                # when exceptions are MODERATELY DENSE (> n/pos_width), but
+                # the distribution varies per chunk: when few BYTES hold a
+                # set bit, unpack only those (O(set bytes) instead of
+                # unpackbits(n) + flatnonzero(n), ~5x); past ~1/8 of bytes
+                # the dense path's sequential scans win.
+                pb = np.frombuffer(pos_b, dtype=np.uint8)
+                nz_bytes = np.flatnonzero(pb)
+                if len(nz_bytes) == 0:
+                    idx = np.empty(0, dtype=np.int64)
+                elif len(nz_bytes) * 8 <= len(pb):
+                    bits8 = np.unpackbits(
+                        pb[nz_bytes], bitorder="little"
+                    ).reshape(-1, 8)
+                    rows, cols = np.nonzero(bits8)
+                    # row-major nonzero → ascending positions, same order
+                    # the dense flatnonzero produces
+                    idx = nz_bytes[rows] * 8 + cols
+                else:
+                    bits = np.unpackbits(pb, count=n, bitorder="little")
+                    idx = np.flatnonzero(bits)
             else:
                 idx = unpack_bits(pos_b, meta["pos_width"], n_exc).astype(np.int64)
             if meta.get("hi"):
