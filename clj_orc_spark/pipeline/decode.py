@@ -813,7 +813,10 @@ def make_files_decoder(columns, schema, needed_cols, prune_cols: bool,
     for a chunk are written contiguously, so everything except the
     last-seen chunk_id is complete once a group arrives; the tail carries
     over to the next group.  ``prefetch=False`` reads serially on the task
-    thread — the A/B baseline for scripts/decode_overlap_bench.py."""
+    thread — the A/B baseline for scripts/decode_overlap_bench.py.  The
+    unpruned serial case (local store, full scan) skips the row-group
+    machinery entirely: one whole-file read + per-chunk grouping, the
+    cheapest plan when there is nothing to skip and nothing to overlap."""
 
     def decode_files(batches):
         from concurrent.futures import ThreadPoolExecutor
@@ -834,6 +837,18 @@ def make_files_decoder(columns, schema, needed_cols, prune_cols: bool,
                     # store) — resolve per path; plain local paths hit
                     # LocalFileSystem, same as before
                     fs, p = pafs.resolve(path)
+                    if not prefetch and cids is None and not prune_cols:
+                        tbl = pq.read_table(p, filesystem=fs)
+                        for cid in np.unique(
+                            tbl.column("chunk_id").to_numpy()
+                        ):
+                            group = tbl.filter(
+                                pc.equal(tbl.column("chunk_id"), cid)
+                            )
+                            yield from decode_chunk_table(
+                                group, columns, schema
+                            ).to_batches()
+                        continue
                     pf = pq.ParquetFile(p, filesystem=fs)
                     keep = _rg_keep(pf.metadata, cids, needed_cols, prune_cols)
                     if not keep:
