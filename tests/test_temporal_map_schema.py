@@ -143,6 +143,70 @@ def test_map_predicates_rejected(spark, store):
         decode(spark, out, isin={"m": ["k0"]})
 
 
+def test_temporal_fields_inside_struct_and_map(spark, tmp_dir):
+    """Temporal kinds compose: a timestamp field inside a struct and date
+    values inside a map shred/reassemble exactly like top-level columns."""
+    import os
+
+    days = np.arange(18_000, 18_000 + 200, dtype=np.int32)
+    micros = (np.arange(200, dtype=np.int64) * 61_000_003
+              + 1_600_000_000_000_000)
+    st = pa.StructArray.from_arrays(
+        [pa.array(micros).cast(pa.timestamp("us")),
+         pa.array(np.arange(200, dtype=np.int32))],
+        fields=[pa.field("seen", pa.timestamp("us")),
+                pa.field("k", pa.int32())],
+    )
+    m = pa.array(
+        [[("d", int(days[i]))] for i in range(200)],
+        type=pa.map_(pa.string(), pa.date32()),
+    )
+    tbl = pa.table({
+        "doc_id": [f"r{i}" for i in range(200)], "s": st, "m": m,
+    })
+    src = os.path.join(tmp_dir, "src.parquet")
+    pq.write_table(tbl, src)
+    out = os.path.join(tmp_dir, "store")
+    encode(spark, src, out, n_partitions=1)
+    assert store_schema(spark, out) == [
+        ("doc_id", "str"), ("s", "struct<seen:ts_us,k:int32>"),
+        ("m", "map<str,date32>"),
+    ]
+    rows = {r["doc_id"]: r for r in decode(spark, out).collect()}
+    assert len(rows) == 200
+    for i in (0, 7, 199):
+        r = rows[f"r{i}"]
+        assert r["s"]["seen"] == tbl["s"][i].as_py()["seen"], i
+        assert r["m"]["d"] == (EPOCH + datetime.timedelta(int(days[i]))), i
+
+
+def test_plan_report_prunes_on_time_range(spark, tmp_dir):
+    """decode_plan_report answers time-range pruning from the manifest
+    alone: a tight micros window must keep a strict subset of chunks."""
+    import os
+
+    from clj_orc_spark.pipeline.decode import decode_plan_report
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "event_id", "ts", "event_type"
+    ).orderBy("ts")  # time-clustered chunks, like any real log ingest
+    src = os.path.join(tmp_dir, "ev.parquet")
+    ev.coalesce(1).write.parquet(src)
+    out = os.path.join(tmp_dir, "store")
+    encode(spark, src, out, n_partitions=4, chunk_bytes=64 << 10)
+    lo = 1_705_276_800_000_000  # 2024-01-15
+    hi = 1_705_536_000_000_000  # 2024-01-18
+    rep = decode_plan_report(spark, out, ranges={"ts": (lo, hi)})
+    assert rep["chunks_kept"] < rep["chunks_total"], rep
+    # and the pruned decode agrees with the unpruned filtered decode
+    n_pruned = decode(spark, out, ranges={"ts": (lo, hi)}).count()
+    n_exp = ev.where(
+        "ts >= TIMESTAMP_NTZ'2024-01-15 00:00:00' AND "
+        "ts <= TIMESTAMP_NTZ'2024-01-18 00:00:00'"
+    ).count()
+    assert n_pruned == n_exp > 0
+
+
 def test_map_null_entry_ghost_values_dropped():
     """A writer may give a NULL map entry a non-empty offsets range (ghost
     values, permitted by the Arrow spec); the list-view flatten drops them
