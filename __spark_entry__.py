@@ -861,6 +861,43 @@ def _q_roundtrip_struct(spark, sf):
     )
 
 
+def _q_roundtrip_struct_pruned(spark, sf):
+    """STRUCT-FIELD predicate under the oracle (round 5): decode with
+    ``ranges={'meta.nw': ...}`` — the shredded field's own zone maps prune
+    chunks manifest-side, the exact filter applies WHERE semantics on the
+    nested column (NULL struct / NULL field never match), and the result
+    must equal DuckDB's WHERE over the raw scalar expressions."""
+    import shutil
+
+    from clj_orc_spark.pipeline import decode, encode
+
+    src_df = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "CAST(doc_id AS string) AS doc_id",
+        "CASE WHEN n_chars % 13 = 0 THEN"
+        " CAST(NULL AS struct<lang:string,score:double,nw:int>)"
+        " ELSE named_struct("
+        "   'lang', nullif(lang, 'en'),"
+        "   'score', CAST(n_chars AS double) * 0.5,"
+        "   'nw', CAST(n_chars % 100 AS int)) END AS meta",
+        "source",
+    )
+    base = (f"/tmp/clj-orc-roundtrip-structp-"
+            f"{os.path.basename(os.path.normpath(sf))}-"
+            f"{spark.sparkContext.applicationId}")
+    src, out = base + "-src", base + "-store"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    src_df.write.parquet(src)
+    encode(spark, src, out, n_partitions=4, resume=False)
+    dec = decode(spark, out, ranges={"meta.nw": (40, None)})
+    return dec.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("meta.lang").alias("n_lang"),
+        F.sum(F.col("meta.nw").cast("long")).alias("nw_sum"),
+        F.sum("meta.score").alias("score_sum"),
+    )
+
+
 def _q_roundtrip_temporal(spark, sf):
     """TEMPORAL engine round-trip under the oracle (round 5): the events
     table's timestamp column goes through encode → decode WITH a time-range
@@ -1024,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_float": _shipped(_q_roundtrip_float),
         "roundtrip_nulls": _shipped(_q_roundtrip_nulls),
         "roundtrip_struct": _shipped(_q_roundtrip_struct),
+        "roundtrip_struct_pruned": _shipped(_q_roundtrip_struct_pruned),
         "roundtrip_temporal": _shipped(_q_roundtrip_temporal),
         "roundtrip_map": _shipped(_q_roundtrip_map),
         "multimodal_features": _shipped(_q_multimodal_features),
@@ -1188,6 +1226,23 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(sum(nw_v) AS BIGINT) AS nw_sum,"
             "  sum(score_v) AS score_sum"
             " FROM t GROUP BY source"
+        ),
+        # roundtrip_struct_pruned: a WHERE on a shredded struct field
+        # (zone-map chunk pruning + exact nested-column filter) must equal
+        # DuckDB's WHERE over the raw scalar expressions.
+        "roundtrip_struct_pruned": (
+            "WITH t AS (SELECT"
+            "  CASE WHEN n_chars % 13 = 0 THEN NULL"
+            "   ELSE nullif(lang, 'en') END AS lang_v,"
+            "  CASE WHEN n_chars % 13 = 0 THEN NULL"
+            "   ELSE CAST(n_chars AS DOUBLE) * 0.5 END AS score_v,"
+            "  CASE WHEN n_chars % 13 = 0 THEN NULL"
+            "   ELSE CAST(n_chars % 100 AS INT) END AS nw_v,"
+            "  source FROM documents)"
+            " SELECT source, count(*) AS n_rows, count(lang_v) AS n_lang,"
+            "  CAST(sum(nw_v) AS BIGINT) AS nw_sum,"
+            "  sum(score_v) AS score_sum"
+            " FROM t WHERE nw_v >= 40 GROUP BY source"
         ),
         # roundtrip_temporal: decoded timestamps under a micros range
         # predicate must aggregate exactly like the raw table under the

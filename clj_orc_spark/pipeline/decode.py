@@ -68,6 +68,28 @@ def _physical_map(schema) -> dict[str, tuple[str, ...]]:
     return out
 
 
+def _pred_target(key: str, kinds: dict) -> tuple[str, str] | None:
+    """(effective kind, physical stats/payload column) for a predicate key:
+    a top-level column, or ``col.field`` reaching into a shredded struct —
+    the shredded field has its OWN zone maps in the manifest, so a struct-
+    field predicate prunes chunks without decoding anything.  ``None`` when
+    the key resolves to nothing (caller raises with its own wording)."""
+    if key in kinds:
+        kind = kinds[key]
+        phys = list_payload_names(key)[0] if kind.startswith("list") else key
+        return kind, phys
+    col, dot, fld = key.partition(".")
+    if dot and col in kinds and kinds[col].startswith("struct"):
+        fks = dict(struct_fields(kinds[col]))
+        if fld not in fks:
+            raise ValueError(
+                f"struct column {col!r} has no field {fld!r}; "
+                f"fields: {sorted(fks)}"
+            )
+        return fks[fld], f"{col}__{fld}"
+    return None
+
+
 def _bound_types(kind: str) -> tuple[tuple, str]:
     """Accepted Python bound types for predicates on a column kind."""
     if kind == "str":
@@ -452,15 +474,19 @@ def decode_plan_report(spark, out_dir: str,
             return "double"
         return "long" if kind in ("int64", "list32", "list64", "ts_us", "ts_us_utc") else "int"
 
-    range_specs = []
+    range_specs, isin_specs = [], []
     for colname, (lo, hi) in (ranges or {}).items():
-        kind = kinds[colname]
-        phys = list_payload_names(colname)[0] if kind.startswith("list") \
-            else colname
+        tgt = _pred_target(colname, kinds)
+        if tgt is None:
+            raise ValueError(f"ranges column {colname!r} not in store schema")
+        kind, phys = tgt
         range_specs.append((phys, lo, hi, _cast_of(kind)))
-    isin_specs = [
-        (c, list(v), _cast_of(kinds[c])) for c, v in (isin or {}).items()
-    ]
+    for colname, v in (isin or {}).items():
+        tgt = _pred_target(colname, kinds)
+        if tgt is None:
+            raise ValueError(f"isin column {colname!r} not in store schema")
+        kind, phys = tgt
+        isin_specs.append((phys, list(v), _cast_of(kind)))
     pruned = _stat_pruned_specs(spark, out_dir, None, range_specs, isin_specs)
     if pruned is None:  # no predicates or stat-less store: everything kept
         kept_c, kept_f = totals["c"], totals["f"]
@@ -583,19 +609,24 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
         if "source" in isin:
             raise ValueError("duplicate predicate on 'source'")
         isin["source"] = list(source_in)
+    pred_kind: dict[str, str] = {}
+    pred_phys: dict[str, str] = {}
     for colname, rng in ranges.items():
-        if colname not in kinds:
+        if not isinstance(rng, (tuple, list)) or len(rng) != 2:
+            raise TypeError(f"ranges[{colname!r}] must be a (lo, hi) pair")
+        if colname in kinds and kinds[colname].startswith(("struct", "map")):
+            raise ValueError(
+                f"predicates on struct/map column {colname!r} are not "
+                f"supported; use a shredded struct field "
+                f"('{colname}.<field>') or filter after decode"
+            )
+        tgt = _pred_target(colname, kinds)
+        if tgt is None:
             raise ValueError(
                 f"ranges column {colname!r} not in store schema {order}"
             )
-        if not isinstance(rng, (tuple, list)) or len(rng) != 2:
-            raise TypeError(f"ranges[{colname!r}] must be a (lo, hi) pair")
-        if kinds[colname].startswith(("struct", "map")):
-            raise ValueError(
-                f"predicates on struct/map column {colname!r} are not "
-                "supported; filter on a shredded field after decode"
-            )
-        want, want_name = _bound_types(kinds[colname])
+        pred_kind[colname], pred_phys[colname] = tgt
+        want, want_name = _bound_types(pred_kind[colname])
         if any(b is not None and not isinstance(b, want) for b in rng):
             raise TypeError(
                 f"ranges[{colname!r}] bounds must be {want_name} (or None)"
@@ -603,21 +634,24 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
         if all(b is None for b in rng):
             raise ValueError(f"ranges[{colname!r}] needs at least one bound")
     for colname, vals in isin.items():
-        if colname not in kinds:
-            raise ValueError(
-                f"isin column {colname!r} not in store schema {order}"
-            )
-        if kinds[colname].startswith("list"):
+        if colname in kinds and kinds[colname].startswith("list"):
             raise ValueError(
                 f"isin is not supported on list column {colname!r}; use a "
                 "ranges containment predicate"
             )
-        if kinds[colname].startswith(("struct", "map")):
+        if colname in kinds and kinds[colname].startswith(("struct", "map")):
             raise ValueError(
                 f"predicates on struct/map column {colname!r} are not "
-                "supported; filter on a shredded field after decode"
+                f"supported; use a shredded struct field "
+                f"('{colname}.<field>') or filter after decode"
             )
-        want, want_name = _bound_types(kinds[colname])
+        tgt = _pred_target(colname, kinds)
+        if tgt is None:
+            raise ValueError(
+                f"isin column {colname!r} not in store schema {order}"
+            )
+        pred_kind[colname], pred_phys[colname] = tgt
+        want, want_name = _bound_types(pred_kind[colname])
         if not vals or any(not isinstance(v, want) for v in vals):
             raise TypeError(
                 f"isin[{colname!r}] must be a non-empty list of {want_name}"
@@ -639,9 +673,11 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
         if token_range is not None and "tokens" not in columns:
             raise ValueError("token_range requires 'tokens' in columns")
         for colname in set(ranges) | set(isin):
-            if colname not in columns:
+            base = colname.split(".", 1)[0]
+            if base not in columns:
+                what = ("it" if base == colname else repr(base))
                 raise ValueError(
-                    f"predicate on {colname!r} requires it in columns"
+                    f"predicate on {colname!r} requires {what} in columns"
                 )
         columns = [c for c in order if c in set(columns)]
     ddl = _select_ddl(columns if columns is not None else order, schema)
@@ -659,8 +695,9 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
     def _pred_col(colname):
         # temporal bounds are the STORAGE ints (days / micros) — the same
         # unit the zone maps hold — so the exact filter compares on the
-        # storage view of the decoded column
-        kind = kinds[colname]
+        # storage view of the decoded column.  Dotted keys (struct fields)
+        # work as-is: F.col('meta.year') is Spark nested-field access.
+        kind = pred_kind[colname]
         if kind == "date32":
             return F.unix_date(F.col(colname))
         if kind in ("ts_us", "ts_us_utc"):
@@ -672,7 +709,7 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
 
     def exact_filter(df):
         for colname, (lo, hi) in ranges.items():
-            if kinds[colname].startswith("list"):
+            if pred_kind[colname].startswith("list"):
                 df = df.where(F.exists(colname, _containment(lo, hi)))
             else:
                 if lo is not None:
@@ -708,14 +745,13 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
             return "double"
         return "long" if kind in ("int64", "list32", "list64", "ts_us", "ts_us_utc") else "int"
 
-    range_specs = []
-    for colname, (lo, hi) in ranges.items():
-        kind = kinds[colname]
-        phys = list_payload_names(colname)[0] if kind.startswith("list") \
-            else colname
-        range_specs.append((phys, lo, hi, _cast_of(kind)))
+    range_specs = [
+        (pred_phys[c], lo, hi, _cast_of(pred_kind[c]))
+        for c, (lo, hi) in ranges.items()
+    ]
     isin_specs = [
-        (c, list(v), _cast_of(kinds[c])) for c, v in isin.items()
+        (pred_phys[c], list(v), _cast_of(pred_kind[c]))
+        for c, v in isin.items()
     ]
     work_rows = None
     if range_specs or isin_specs:

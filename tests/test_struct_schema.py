@@ -145,6 +145,45 @@ def test_struct_column_pruning_and_predicates(spark, store):
         decode(spark, out, isin={"meta": ["x"]})
 
 
+def test_struct_field_predicates_filter_and_prune(spark, store):
+    """``ranges={'meta.year': ...}`` reaches INTO the shredded struct: the
+    field's own zone maps prune chunks manifest-side and the exact filter
+    re-applies on the nested column — SQL WHERE semantics (NULL field or
+    NULL struct never matches)."""
+    _, out, tbl = store
+    metas = tbl["meta"].to_pylist()
+
+    sel = decode(spark, out, ranges={"meta.year": (2010, None)})
+    exp = sorted(
+        f"doc-{i:05d}" for i, v in enumerate(metas)
+        if v is not None and v["year"] is not None and v["year"] >= 2010
+    )
+    assert sorted(r["doc_id"] for r in sel.select("doc_id").collect()) == exp
+
+    sel2 = decode(spark, out, isin={"meta.lang": ["de"]})
+    exp2 = sorted(
+        f"doc-{i:05d}" for i, v in enumerate(metas)
+        if v is not None and v["lang"] == "de"
+    )
+    assert sorted(
+        r["doc_id"] for r in sel2.select("doc_id").collect()
+    ) == exp2
+
+    # plan report answers from the manifest; uid is monotone per row so a
+    # tight uid window must keep a strict subset of chunks
+    from clj_orc_spark.pipeline.decode import decode_plan_report
+
+    rep = decode_plan_report(
+        spark, out, ranges={"meta.uid": (10_000_000_000, 10_000_000_090)}
+    )
+    assert rep["chunks_kept"] < rep["chunks_total"], rep
+
+    with pytest.raises(ValueError, match="no field"):
+        decode(spark, out, ranges={"meta.nope": (1, 2)})
+    with pytest.raises(TypeError, match="list of str"):
+        decode(spark, out, isin={"meta.lang": [3]})
+
+
 def test_struct_present_column_is_tiny(spark, store):
     """The 0/1 present column must RLE to near nothing on mostly-valid
     data — struct-level validity cannot cost a real stream at 100 TB."""
