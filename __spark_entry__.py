@@ -822,6 +822,46 @@ def _q_roundtrip_nulls(spark, sf):
     )
 
 
+def _q_roundtrip_boolbin(spark, sf):
+    """BOOLEAN + BINARY engine round-trip under the oracle (round 5): the
+    last two scalar kinds in the reference's dispatch table
+    (`src/orc/col.clj:157-175`: ``:boolean`` as long 0/1, ``:binary`` as
+    bytes).  A table with a nullable bool flag and a nullable binary
+    payload goes through encode → decode WITH a zone-map range predicate
+    on the bool column (stored as int 0/1 — RLE/1-bit FOR territory), and
+    per-source aggregates INCLUDING an md5 over the decoded bytes must
+    equal DuckDB computing the same from the raw text — the md5 pins the
+    payload bytes exactly, not just their lengths."""
+    import shutil
+
+    from clj_orc_spark.pipeline import decode, encode
+
+    toks = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "CAST(doc_id AS string) AS doc_id",
+        "CASE WHEN n_chars % 7 = 0 THEN CAST(NULL AS boolean)"
+        " ELSE n_chars % 2 = 0 END AS flag",
+        "CASE WHEN n_chars % 5 = 0 THEN CAST(NULL AS binary)"
+        " ELSE CAST(substring(text, 1, 40) AS binary) END AS payload",
+        "source",
+    )
+    base = (f"/tmp/clj-orc-roundtrip-bb-"
+            f"{os.path.basename(os.path.normpath(sf))}-"
+            f"{spark.sparkContext.applicationId}")
+    src, out = base + "-src", base + "-store"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    toks.write.parquet(src)
+    encode(spark, src, out, n_partitions=4, resume=False)
+    dec = decode(spark, out, ranges={"flag": (1, 1)})
+    return dec.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("payload").alias("n_payloads"),
+        F.sum(F.length("payload").cast("long")).alias("total_bytes"),
+        F.min(F.md5("payload")).alias("md5_min"),
+        F.max(F.md5("payload")).alias("md5_max"),
+    )
+
+
 def _q_roundtrip_struct(spark, sf):
     """STRUCT SHREDDING round-trip under the oracle (round 5): a struct
     column (nullable at the struct level AND per field) goes through
@@ -1060,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_general": _shipped(_q_roundtrip_general),
         "roundtrip_float": _shipped(_q_roundtrip_float),
         "roundtrip_nulls": _shipped(_q_roundtrip_nulls),
+        "roundtrip_boolbin": _shipped(_q_roundtrip_boolbin),
         "roundtrip_struct": _shipped(_q_roundtrip_struct),
         "roundtrip_struct_pruned": _shipped(_q_roundtrip_struct_pruned),
         "roundtrip_temporal": _shipped(_q_roundtrip_temporal),
@@ -1207,6 +1248,26 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(sum(nw) AS BIGINT) AS nw_sum,"
             "  CAST(sum(list_aggregate(toks, 'sum')) AS BIGINT) AS tok_sum"
             " FROM t WHERE nw >= 10 GROUP BY source"
+        ),
+        # roundtrip_boolbin: decoded bool (int 0/1 storage) and binary
+        # (byte-path) columns must equal DuckDB computing from the raw
+        # text under WHERE flag; md5 pins the decoded bytes exactly
+        # (DuckDB md5 takes VARCHAR — same utf8 bytes the Spark side
+        # md5's as binary).
+        "roundtrip_boolbin": (
+            "WITH t AS (SELECT"
+            "  CASE WHEN n_chars % 7 = 0 THEN NULL"
+            "   ELSE n_chars % 2 = 0 END AS flag,"
+            "  CASE WHEN n_chars % 5 = 0 THEN NULL"
+            "   ELSE substring(text, 1, 40) END AS payload_s,"
+            "  source FROM documents)"
+            " SELECT source, count(*) AS n_docs,"
+            "  count(payload_s) AS n_payloads,"
+            "  CAST(sum(octet_length(encode(payload_s))) AS BIGINT)"
+            "   AS total_bytes,"
+            "  min(md5(payload_s)) AS md5_min,"
+            "  max(md5(payload_s)) AS md5_max"
+            " FROM t WHERE flag GROUP BY source"
         ),
         # roundtrip_struct: aggregates over shredded struct fields must
         # equal DuckDB computing the same values from raw scalar exprs

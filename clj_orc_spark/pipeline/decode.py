@@ -37,7 +37,8 @@ _DDL_TYPE = {"str": "string", "int32": "int", "int64": "bigint",
              "float32": "float", "float64": "double",
              "list32": "array<int>", "list64": "array<bigint>",
              "date32": "date", "ts_us": "timestamp_ntz",
-             "ts_us_utc": "timestamp"}
+             "ts_us_utc": "timestamp",
+             "bool": "boolean", "binary": "binary"}
 _LIST_VALUE_TYPE = {"list32": pa.int32, "list64": pa.int64}
 #: int-storage kinds → (numpy storage dtype, arrow type factory).  Temporal
 #: kinds share the int path: same storage bytes, the arrow type restores
@@ -94,8 +95,12 @@ def _bound_types(kind: str) -> tuple[tuple, str]:
     """Accepted Python bound types for predicates on a column kind."""
     if kind == "str":
         return (str,), "str"
+    if kind == "binary":
+        return (bytes,), "bytes"
     if kind in ("float32", "float64"):
         return (int, float), "int or float"
+    if kind == "bool":
+        return (int, bool), "int or bool"
     return (int,), "int"
 
 
@@ -190,11 +195,24 @@ def decode_chunk_table(tbl: pa.Table, columns: list[str] | None = None,
             return pa.Array.from_buffers(
                 pa_t(), len(a), [_vbuf(p), pa.py_buffer(a.tobytes())]
             )
-        arr = cols[p].to_arrow()  # str
+        if fk == "bool":
+            # int32 0/1 storage → arrow bool (bit-packed data buffer)
+            a = cols[p].astype(np.int32, copy=False) != 0
+            return pa.Array.from_buffers(
+                pa.bool_(), len(a),
+                [_vbuf(p),
+                 pa.py_buffer(np.packbits(a, bitorder="little").tobytes())],
+            )
+        arr = cols[p].to_arrow()  # str / binary (same offsets+bytes layout)
         if p in valid_bufs:
             bufs = arr.buffers()
             arr = pa.Array.from_buffers(
                 arr.type, len(arr), [_vbuf(p), bufs[1], bufs[2]]
+            )
+        if fk == "binary":
+            arr = arr.view(
+                pa.large_binary()
+                if pa.types.is_large_string(arr.type) else pa.binary()
             )
         return arr
 
@@ -298,12 +316,19 @@ def decode_chunk_table(tbl: pa.Table, columns: list[str] | None = None,
                  pa.py_buffer(offsets.astype(np.int32).tobytes())],
                 children=[entries],
             )
+        elif kind == "bool":
+            out[c] = _scalar_arr(c, "bool")
         else:
             arr = cols[c].to_arrow()
             if c in valid_bufs:
                 bufs = arr.buffers()
                 arr = pa.Array.from_buffers(
                     arr.type, len(arr), [_vbuf(c), bufs[1], bufs[2]]
+                )
+            if kind == "binary":
+                arr = arr.view(
+                    pa.large_binary()
+                    if pa.types.is_large_string(arr.type) else pa.binary()
                 )
             out[c] = arr
     return pa.table(out)
@@ -470,6 +495,8 @@ def decode_plan_report(spark, out_dir: str,
     def _cast_of(kind):
         if kind == "str":
             return "string"
+        if kind == "binary":
+            return "binary"
         if kind in ("float32", "float64"):
             return "double"
         return "long" if kind in ("int64", "list32", "list64", "ts_us", "ts_us_utc") else "int"
@@ -633,6 +660,12 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
             )
         if all(b is None for b in rng):
             raise ValueError(f"ranges[{colname!r}] needs at least one bound")
+        if pred_kind[colname] == "bool":
+            # normalize True/False bounds to the 0/1 storage ints the zone
+            # maps hold and the exact filter compares against
+            ranges[colname] = tuple(
+                None if b is None else int(b) for b in rng
+            )
     for colname, vals in isin.items():
         if colname in kinds and kinds[colname].startswith("list"):
             raise ValueError(
@@ -656,6 +689,8 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
             raise TypeError(
                 f"isin[{colname!r}] must be a non-empty list of {want_name}"
             )
+        if pred_kind[colname] == "bool":
+            isin[colname] = [int(v) for v in vals]
     if columns is not None:
         if not columns:
             # an empty projection would otherwise surface later as an opaque
@@ -705,6 +740,9 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
                 F.col(colname).cast("timestamp")
                 if kind == "ts_us" else F.col(colname)
             )
+        if kind == "bool":
+            # bounds are 0/1 storage ints (normalized at plan time)
+            return F.col(colname).cast("int")
         return F.col(colname)
 
     def exact_filter(df):
@@ -741,6 +779,8 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
     def _cast_of(kind: str) -> str:
         if kind == "str":
             return "string"
+        if kind == "binary":
+            return "binary"
         if kind in ("float32", "float64"):
             return "double"
         return "long" if kind in ("int64", "list32", "list64", "ts_us", "ts_us_utc") else "int"

@@ -107,26 +107,31 @@ DEFAULT_SCHEMA = (
 _KIND_NP = {"int32": np.int32, "int64": np.int64,
             "float32": np.float32, "float64": np.float64,
             "list32": np.int32, "list64": np.int64,
-            "date32": np.int32, "ts_us": np.int64, "ts_us_utc": np.int64}
+            "date32": np.int32, "ts_us": np.int64, "ts_us_utc": np.int64,
+            "bool": np.int32}
 
 #: float kind → the same-width unsigned view its bit patterns encode as
 _FLOAT_U = {"float32": np.uint32, "float64": np.uint64}
 
-#: temporal kind → the int kind its storage encodes as (bit-exact
-#: reinterpret: date32 = days since epoch, timestamp[us] = micros — the
-#: engine analog of the reference's :date/:timestamp dispatch entries,
-#: `src/orc/col.clj:162,171`, except values stay typed instead of being
-#: formatted to strings; delta/RLE/FOR codecs love days/micros)
-TEMPORAL_STORAGE = {"date32": "int32", "ts_us": "int64", "ts_us_utc": "int64"}
+#: kind → the int kind its storage encodes as (bit-exact reinterpret:
+#: date32 = days since epoch, timestamp[us] = micros — the engine analog of
+#: the reference's :date/:timestamp dispatch entries, `src/orc/col.clj:
+#: 162,171`, except values stay typed instead of being formatted to
+#: strings; delta/RLE/FOR codecs love days/micros.  Round 5 adds ``bool``
+#: as int32 0/1 — the reference reads ``:boolean`` as long
+#: (`src/orc/col.clj:161`); RLE crushes runs, 1-bit FOR handles random
+#: flags at ~1 bit/value)
+TEMPORAL_STORAGE = {"date32": "int32", "ts_us": "int64", "ts_us_utc": "int64",
+                    "bool": "int32"}
 
 
 def _temporal_to_storage(arr, kind: str):
-    """Temporal arrow column → its int storage (days / micros).  ns-unit
-    timestamps (how pyarrow reads Spark's INT96) normalize to micros via a
-    SAFE cast — genuinely sub-microsecond values raise instead of silently
-    truncating (Spark timestamps are micro-precision, so Spark-written data
-    always passes)."""
-    if kind == "date32":
+    """Temporal/bool arrow column → its int storage (days / micros / 0-1).
+    ns-unit timestamps (how pyarrow reads Spark's INT96) normalize to
+    micros via a SAFE cast — genuinely sub-microsecond values raise instead
+    of silently truncating (Spark timestamps are micro-precision, so
+    Spark-written data always passes)."""
+    if kind in ("date32", "bool"):
         return pc.cast(arr, pa.int32())
     tz = "UTC" if kind == "ts_us_utc" else None
     return pc.cast(pc.cast(arr, pa.timestamp("us", tz=tz)), pa.int64())
@@ -202,6 +207,10 @@ def derive_schema(arrow_schema) -> list[tuple[str, str]]:
     def scalar_kind(t) -> str | None:
         if _pa.types.is_string(t) or _pa.types.is_large_string(t):
             return "str"
+        if _pa.types.is_boolean(t):
+            return "bool"
+        if _pa.types.is_binary(t) or _pa.types.is_large_binary(t):
+            return "binary"
         if t in (_pa.int32(), _pa.int16(), _pa.int8()):
             return "int32"
         if t == _pa.int64():
@@ -242,7 +251,8 @@ def derive_schema(arrow_schema) -> list[tuple[str, str]]:
                     raise ValueError(
                         f"unsupported struct field type {f.type} for "
                         f"{field.name}.{f.name}: struct shredding takes one "
-                        "level of scalar fields (str/int/float)"
+                        "level of scalar fields (str/int/float/bool/"
+                        "binary/temporal)"
                     )
                 if ":" in f.name or "," in f.name:
                     raise ValueError(
@@ -315,8 +325,11 @@ def _scalar_payload(arr: pa.Array, kind: str):
     (zero/empty fill so payload bytes are deterministic)."""
     nulls = arr.null_count
     valid = np.asarray(arr.is_valid()) if nulls else None
-    if kind == "str":
-        col = StringCol.from_arrow(pc.fill_null(arr, "") if nulls else arr)
+    if kind in ("str", "binary"):
+        fill = "" if kind == "str" else b""
+        col = StringCol.from_arrow(pc.fill_null(arr, fill) if nulls else arr)
+        if kind == "binary":  # bytes aren't JSON — stat-less (kept by pruner)
+            return col, "str", 0, valid, {"min": None, "max": None}
         lohi = pc.min_max(arr)
         return col, "str", 0, valid, {
             "min": lohi["min"].as_py(), "max": lohi["max"].as_py()}
@@ -390,15 +403,22 @@ def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int,
         ) else None
         nulls = col_raw.null_count
         valid = np.asarray(col_c.is_valid()) if nulls else None
-        if kind == "str":
+        if kind in ("str", "binary"):
             arr_c = col_c if col_c is not None else col_raw.combine_chunks()
             col = StringCol.from_arrow(
-                pc.fill_null(arr_c, "") if nulls else arr_c
+                pc.fill_null(arr_c, "" if kind == "str" else b"")
+                if nulls else arr_c
             )
             columns[name] = (col, "str", 0)
             valids[name] = valid
-            lohi = pc.min_max(col_raw)  # skips nulls
-            mm[name] = {"min": lohi["min"].as_py(), "max": lohi["max"].as_py()}
+            if kind == "binary":
+                # bytes aren't JSON-safe manifest stats — stat-less chunk
+                # (conservatively kept by the zone-map pruner)
+                mm[name] = {"min": None, "max": None}
+            else:
+                lohi = pc.min_max(col_raw)  # skips nulls
+                mm[name] = {
+                    "min": lohi["min"].as_py(), "max": lohi["max"].as_py()}
         elif kind in ("int32", "int64"):
             if nulls:
                 arr = np.asarray(pc.fill_null(col_c, 0), dtype=_KIND_NP[kind])
@@ -469,6 +489,13 @@ def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int,
                     pa.array(v), child, pa.scalar(None, child.type)
                 )
                 valids[p_name] = None if all_valid else v
+                if fkind == "binary":
+                    columns[p_name] = (
+                        StringCol.from_arrow(pc.fill_null(masked, b"")),
+                        "str", 0,
+                    )
+                    mm[p_name] = {"min": None, "max": None}
+                    continue
                 lohi = pc.min_max(masked)  # skips nulls
                 f_mn, f_mx = lohi["min"].as_py(), lohi["max"].as_py()
                 if fkind == "str":
@@ -827,8 +854,8 @@ def _row_weight_csum(tbl: pa.Table, schema) -> np.ndarray:
             w = lens if w is None else w + lens
         elif kind.startswith("map"):
             kk, vk = map_kinds(kind)
-            width = sum(  # str entries priced at 16 B (key/value average)
-                16 if k == "str"
+            width = sum(  # byte entries priced at 16 B (key/value average)
+                16 if k in ("str", "binary")
                 else _KIND_NP[TEMPORAL_STORAGE.get(k, k)]().itemsize
                 for k in (kk, vk)
             )
@@ -840,9 +867,11 @@ def _row_weight_csum(tbl: pa.Table, schema) -> np.ndarray:
         return np.cumsum(w)
     scalar_bytes = 0
     for name, kind in schema:
-        if kind == "str":
+        if kind in ("str", "binary"):
             slens = np.asarray(
-                pc.binary_length(tbl.column(name)).combine_chunks(),
+                pc.fill_null(
+                    pc.binary_length(tbl.column(name)), 0
+                ).combine_chunks(),
                 dtype=np.int64,
             ) + 8
             w = slens if w is None else w + slens
@@ -850,7 +879,7 @@ def _row_weight_csum(tbl: pa.Table, schema) -> np.ndarray:
             scalar_bytes += 1  # the 0/1 present column
             col_s = tbl.column(name).combine_chunks()
             for fi, (_fname, fkind) in enumerate(struct_fields(kind)):
-                if fkind == "str":
+                if fkind in ("str", "binary"):
                     slens = np.asarray(
                         pc.fill_null(
                             pc.binary_length(pc.struct_field(col_s, fi)), 0

@@ -348,7 +348,8 @@ if _HAS_HYP:
     from clj_orc_spark.pipeline.encode import OUT_SCHEMA, _encode_chunk_rows
 
     _KINDS = st.sampled_from(
-        ["str", "int32", "int64", "float32", "float64", "list32", "list64"]
+        ["str", "int32", "int64", "float32", "float64", "list32", "list64",
+         "bool", "binary"]
     )
 
     def _col_data(draw, kind, n):
@@ -369,6 +370,13 @@ if _HAS_HYP:
             vals = draw(st.lists(
                 st.text(max_size=12), min_size=n, max_size=n))
             return _pa.array(vals, type=_pa.string())
+        if kind == "binary":
+            vals = draw(st.lists(
+                st.binary(max_size=12), min_size=n, max_size=n))
+            return _pa.array(vals, type=_pa.binary())
+        if kind == "bool":
+            vals = draw(st.lists(st.booleans(), min_size=n, max_size=n))
+            return _pa.array(vals, type=_pa.bool_())
         if kind == "int32":
             vals = draw(st.lists(st.integers(-(2**31), 2**31 - 1),
                                  min_size=n, max_size=n))
