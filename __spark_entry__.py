@@ -698,6 +698,36 @@ def _q_roundtrip_token_pruned(spark, sf):
     return _roundtrip_agg(decode(spark, out, token_range=(8, None)))
 
 
+def _q_roundtrip_orc_input(spark, sf):
+    """ORC-FILE INGESTION under the oracle (round 5): the SQL-derived token
+    table is written as ORC (Spark's native writer), encoded from the ORC
+    files through the stripe-planned zero-shuffle scan (the reference's own
+    input format, `src/orc/read.clj:27-49`), decoded, and the aggregate of
+    the decoded rows must equal DuckDB's computation on the raw text —
+    proving ORC → engine → decode preserves every token array."""
+    import shutil
+
+    from clj_orc_spark.pipeline import decode, encode
+
+    toks = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .selectExpr(
+            "CAST(doc_id AS string) AS doc_id",
+            "transform(split(text, ' '), w -> length(w)) AS tokens",
+            "CAST(size(split(text, ' ')) AS int) AS n_tok",
+            "source",
+        )
+    )
+    base = (f"/tmp/clj-orc-roundtrip-orcin-"
+            f"{os.path.basename(os.path.normpath(sf))}-"
+            f"{spark.sparkContext.applicationId}")
+    src, out = f"{base}/src", f"{base}/store"
+    shutil.rmtree(base, ignore_errors=True)
+    toks.repartition(2).write.orc(src)
+    encode(spark, input_path=src, out_dir=out, resume=False)
+    return _roundtrip_agg(decode(spark, out))
+
+
 def _q_roundtrip_general(spark, sf):
     """GENERAL-SCHEMA engine round-trip under the oracle (round 4): a
     6-column table (token table + lang:string + year:int32) derived from
@@ -1098,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_source_pruned": _shipped(_q_roundtrip_source_pruned),
         "roundtrip_token_pruned": _shipped(_q_roundtrip_token_pruned),
         "roundtrip_general": _shipped(_q_roundtrip_general),
+        "roundtrip_orc_input": _shipped(_q_roundtrip_orc_input),
         "roundtrip_float": _shipped(_q_roundtrip_float),
         "roundtrip_nulls": _shipped(_q_roundtrip_nulls),
         "roundtrip_boolbin": _shipped(_q_roundtrip_boolbin),
@@ -1173,6 +1204,16 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_sql": (
             # the Spark side routes these values through encode->decode;
             # equality of the value hash IS the bit-identity check
+            "SELECT source, count(*) AS n_docs,"
+            " CAST(sum(len(string_split(text, ' '))) AS BIGINT)"
+            "  AS total_words,"
+            " CAST(sum(list_aggregate(list_transform(string_split(text, ' '),"
+            "  w -> length(w)), 'sum')) AS BIGINT) AS total_word_chars"
+            " FROM documents GROUP BY source"
+        ),
+        "roundtrip_orc_input": (
+            # identical computation to roundtrip_sql: the Spark side routes
+            # the values through ORC files -> stripe-planned encode -> decode
             "SELECT source, count(*) AS n_docs,"
             " CAST(sum(len(string_split(text, ' '))) AS BIGINT)"
             "  AS total_words,"

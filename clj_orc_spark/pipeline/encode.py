@@ -707,28 +707,43 @@ def make_encoder(chunk_bytes: int = DEFAULT_CHUNK_BYTES,
 SCAN_DDL = "doc_id string, tokens array<int>, n_tok int, source string, part_id int"
 
 
-def _parquet_source(
+def _pyarrow_source(
     input_path: str | None, filesystem=None
-) -> tuple[object | None, list[str] | None, str | None]:
-    """``(pyarrow_fs, parquet_files, degraded_reason)`` for an input location.
+) -> tuple[object | None, list[str] | None, str, str | None]:
+    """``(pyarrow_fs, files, fmt, degraded_reason)`` for an input location.
 
     The fused-scan fast path engages whenever pyarrow can serve the location
     — local paths, ``file://``/``s3://``/``s3a://``/``gs://``/``hdfs://``
-    URIs (pafs.resolve), or an explicit ``filesystem=`` object.  Returns
-    ``(None, None, reason)`` when it can't (unknown scheme, unreachable
-    store, no parquet files): the caller falls back to the JVM scan and
-    RECORDS the reason — at 100 TB a silent fallback moves every token byte
-    through a shuffle the operator never asked for."""
+    URIs (pafs.resolve), or an explicit ``filesystem=`` object.  ``fmt`` is
+    ``"parquet"`` or ``"orc"`` (the reference's own on-disk format — parity
+    with its S3A ORC flow, `/root/reference/src/orc/read.clj:27-49`); a
+    location holding BOTH raises rather than silently encoding half the
+    data.  Returns ``(None, None, fmt, reason)`` when pyarrow can't serve it
+    (unknown scheme, unreachable store, no parquet/orc files): the caller
+    falls back to the JVM scan and RECORDS the reason — at 100 TB a silent
+    fallback moves every token byte through a shuffle the operator never
+    asked for."""
     if input_path is None:
-        return None, None, None
+        return None, None, "parquet", None
     try:
         fs, path = pafs.resolve(input_path, filesystem)
         files = pafs.list_parquet(fs, path)
+        orc_files = pafs.list_orc(fs, path)
     except Exception as e:
-        return None, None, f"pyarrow.fs cannot serve {input_path!r}: {e}"
+        return None, None, "parquet", (
+            f"pyarrow.fs cannot serve {input_path!r}: {e}")
+    if files and orc_files:
+        raise ValueError(
+            f"{input_path!r} holds both .parquet and .orc files — encode "
+            "one homogeneous dataset per store (pass the format's "
+            "subdirectory)"
+        )
+    if orc_files:
+        return fs, orc_files, "orc", None
     if not files:
-        return None, None, f"no .parquet files under {input_path!r}"
-    return fs, files, None
+        return None, None, "parquet", (
+            f"no .parquet or .orc files under {input_path!r}")
+    return fs, files, "parquet", None
 
 
 def _lpt_pack(units: list[tuple], n_bins: int) -> list[list]:
@@ -783,18 +798,42 @@ def _rowgroup_plan(files: list[str], n_partitions: int,
 
     units: list[tuple[float, str, int, int, int]] = []  # weight,f,rg,lo,hi
     ref_schema = ref_file = None
-    for f in files:
-        md = pq.read_metadata(f, filesystem=fs)
+
+    def check_schema(schema, f):
         # plan-time schema homogeneity (footers are read here anyway): a
         # stray file with a different schema would otherwise fail mid-encode
-        # in whichever task drew it, with half the store already written
+        # in whichever task drew it, with half the store already written.
+        # Compared as Arrow schemas so a parquet plan and an ORC plan use
+        # one notion of "same".
+        nonlocal ref_schema, ref_file
         if ref_schema is None:
-            ref_schema, ref_file = md.schema, f
-        elif not md.schema.equals(ref_schema):
+            ref_schema, ref_file = schema, f
+        elif not schema.equals(ref_schema):
             raise ValueError(
                 f"input files disagree on schema: {f!r} differs from "
                 f"{ref_file!r} — encode one homogeneous dataset per store"
             )
+
+    for f in files:
+        if f.endswith(".orc"):
+            # ORC footers don't expose per-stripe byte/row counts through
+            # pyarrow, so stripes weigh file_bytes/nstripes — writers target
+            # a fixed stripe size, so uniform-within-file is the honest
+            # footer-only estimate; cross-file skew is still LPT-balanced.
+            # hi=-1 = "the whole stripe" (the encoder skips the slice).
+            wfs, wpath = (fs, f) if fs is not None else pafs.resolve(f)
+            h = pafs.OrcInput(wfs.open_input_file(wpath))
+            try:
+                check_schema(h.schema, f)
+                fsize = float(wfs.get_file_info(wpath).size or 0)
+                w = fsize / max(1, h.nstripes)
+                for i in range(h.nstripes):
+                    units.append((w, f, i, 0, -1))
+            finally:
+                h.close()
+            continue
+        md = pq.read_metadata(f, filesystem=fs)
+        check_schema(md.schema.to_arrow_schema(), f)
         for i in range(md.num_row_groups):
             rg = md.row_group(i)
             units.append((float(rg.total_byte_size), f, i, 0, rg.num_rows))
@@ -806,6 +845,9 @@ def _rowgroup_plan(files: list[str], n_partitions: int,
         total_w = sum(u[0] for u in units) or 1.0
         split: list[tuple[float, str, int, int, int]] = []
         for w, f, i, lo, hi in units:
+            if hi < 0:  # ORC stripe: row count unknown at plan time, so it
+                split.append((w, f, i, lo, hi))  # can't row-split — keep whole
+                continue
             k = max(1, min(hi - lo, round(n_partitions * w / total_w)))
             edges = np.linspace(lo, hi, k + 1).astype(int)
             for a, b in zip(edges[:-1], edges[1:]):
@@ -948,7 +990,7 @@ def make_rowgroup_encoder(chunk_bytes: int, fs=None, policy: str = "size",
         def read_unit(unit):
             f, rg, lo, hi = unit
             if f not in handles:
-                handles[f] = pafs.open_parquet(f, fs)
+                handles[f] = pafs.open_input(f, fs)  # parquet or ORC by ext
             if int(rg) < 0:  # whole-file unit (manifest had no
                 tbl = handles[f].read(columns=cols)  # split offsets)
             else:
@@ -1060,6 +1102,13 @@ def make_arrow_scanner(plan: dict, pending: set[int] | None, fs=None):
     return scan
 
 
+def _read_input_df(spark, input_path: str, fmt: str):
+    """JVM DataFrame scan of the input location, format-aware (Spark reads
+    ORC natively — the reference's format, `src/orc/read.clj`)."""
+    return (spark.read.orc(input_path) if fmt == "orc"
+            else spark.read.parquet(input_path))
+
+
 def _default_n_partitions(spark, df, input_path: str | None, fs=None) -> int:
     if input_path is not None:
         try:
@@ -1074,15 +1123,23 @@ def _default_n_partitions(spark, df, input_path: str | None, fs=None) -> int:
 
 
 def _input_row_count(files: list[str] | None, fs=None) -> int | None:
-    """Row count from parquet footers — no Spark job."""
+    """Row count from parquet/ORC footers — no Spark job."""
     if not files:
         return None
-    try:
+
+    def count(f: str) -> int:
+        if f.endswith(".orc"):
+            h = pafs.open_orc(f, fs)
+            try:
+                return int(h.nrows)
+            finally:
+                h.close()
         import pyarrow.parquet as pq
 
-        return sum(
-            pq.read_metadata(f, filesystem=fs).num_rows for f in files
-        ) or None
+        return pq.read_metadata(f, filesystem=fs).num_rows
+
+    try:
+        return sum(count(f) for f in files) or None
     except Exception:
         return None
 
@@ -1117,6 +1174,12 @@ def _schema_from_files(files: list[str] | None, fs=None):
 
     if not files:
         return None
+    if files[0].endswith(".orc"):
+        h = pafs.open_orc(files[0], fs)
+        try:
+            return derive_schema(h.schema)
+        finally:
+            h.close()
     return derive_schema(pq.read_schema(files[0], filesystem=fs))
 
 
@@ -1326,18 +1389,28 @@ def encode(
                          f"df= and scan={scan!r}")
     explicit_parts = n_partitions is not None
     user_plan = plan  # caller-supplied plan (vs the persisted one loaded below)
-    if df is None and scan in ("jvm", "salted"):
-        df = spark.read.parquet(input_path)
-    if n_partitions is None:
-        n_partitions = _default_n_partitions(spark, df, input_path, filesystem)
 
     t0 = time.time()
     # resolved even for scan="jvm": the file list feeds the footer row
     # count (no Spark job) — only the PHYSICAL scan choice ignores it there
-    fs, files, degraded_reason = _parquet_source(input_path, filesystem)
+    fs, files, fmt, degraded_reason = _pyarrow_source(input_path, filesystem)
     if fs is None and filesystem is not None:
         fs = filesystem  # plan= with input_path=None: the caller's
         # credential-configured filesystem must still reach executor reads
+    if fmt == "orc" and scan == "salted":
+        # the salted arrow scanner plans by parquet row-group footers; for
+        # ORC the stripe-planned zero-shuffle path (default) or the JVM
+        # scan (spark.read.orc) are the supported shapes
+        raise ValueError(
+            'scan="salted" reads parquet; ORC input runs zero-shuffle '
+            'stripe-planned (scan="auto"/"rowgroup") or via scan="jvm"'
+        )
+    if df is None and scan == "jvm" and input_path is not None:
+        df = _read_input_df(spark, input_path, fmt)
+    elif df is None and scan == "salted":
+        df = spark.read.parquet(input_path)
+    if n_partitions is None:
+        n_partitions = _default_n_partitions(spark, df, input_path, filesystem)
     scan_files = None if scan == "jvm" else files
     if degraded_reason and scan == "auto" and plan is None:
         # at 100 TB this fallback moves every token byte through a full
@@ -1350,7 +1423,7 @@ def encode(
         # never silently degrade an explicit mode request — the chosen mode
         # is persisted in plan.json and would pin every future resume
         raise ValueError(
-            f"scan={scan!r} needs parquet files pyarrow can serve under "
+            f"scan={scan!r} needs parquet/ORC files pyarrow can serve under "
             f"input_path; got input_path={input_path!r}"
             + (f" ({degraded_reason})" if degraded_reason else "")
         )
@@ -1367,7 +1440,7 @@ def encode(
         )
     else:
         if df is None:
-            df = spark.read.parquet(input_path)
+            df = _read_input_df(spark, input_path, fmt)
         plan = _load_or_compute_plan(
             spark, df, out_dir, n_partitions, files, fs,
             assign_hash="fnv1a" if scan_files else "xxhash64",
@@ -1452,7 +1525,7 @@ def encode(
             )
         else:
             if df is None:
-                df = spark.read.parquet(input_path)
+                df = _read_input_df(spark, input_path, fmt)
             work = apply_plan(df, plan)
             if pending_set is not None:
                 work = work.where(F.col("part_id").isin(pending))

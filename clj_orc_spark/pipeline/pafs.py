@@ -53,20 +53,28 @@ def resolve(path: str, filesystem=None) -> tuple[_fs.FileSystem, str]:
     return _fs.LocalFileSystem(), path
 
 
-def list_parquet(fs: _fs.FileSystem, path: str) -> list[str]:
-    """All .parquet files at/under ``path`` (one recursive LIST on object
+def list_files(fs: _fs.FileSystem, path: str, ext: str) -> list[str]:
+    """All ``ext`` files at/under ``path`` (one recursive LIST on object
     stores, not a per-directory walk), sorted for plan determinism."""
     info = fs.get_file_info(path)
     if info.type == _fs.FileType.File:
-        return [path] if path.endswith(".parquet") else []
+        return [path] if path.endswith(ext) else []
     if info.type != _fs.FileType.Directory:
         return []
     sel = _fs.FileSelector(path, recursive=True)
     return sorted(
         i.path
         for i in fs.get_file_info(sel)
-        if i.type == _fs.FileType.File and i.path.endswith(".parquet")
+        if i.type == _fs.FileType.File and i.path.endswith(ext)
     )
+
+
+def list_parquet(fs: _fs.FileSystem, path: str) -> list[str]:
+    return list_files(fs, path, ".parquet")
+
+
+def list_orc(fs: _fs.FileSystem, path: str) -> list[str]:
+    return list_files(fs, path, ".orc")
 
 
 def total_bytes(fs: _fs.FileSystem, path: str) -> int:
@@ -92,3 +100,49 @@ def open_parquet(path: str, fs: _fs.FileSystem | None = None):
     if fs is None:
         fs, path = resolve(path)
     return pq.ParquetFile(fs.open_input_file(path))
+
+
+class OrcInput:
+    """ORC read handle with the ParquetFile surface the rowgroup encoder
+    uses (``read_row_group``/``read``/``close``) — a stripe is ORC's row
+    group (the reference's own read unit: its batch loop walks stripes via
+    ``rows()``, `/root/reference/src/orc/read.clj:27-49`).
+    ``pyarrow.orc.ORCFile.read_stripe`` returns a RecordBatch; wrap to a
+    Table so downstream slicing/encoding is format-agnostic."""
+
+    def __init__(self, handle):
+        import pyarrow.orc as _orc
+
+        self._fh = handle
+        self._of = _orc.ORCFile(handle)
+        self.nstripes = self._of.nstripes
+        self.nrows = self._of.nrows
+        self.schema = self._of.schema
+
+    def read_row_group(self, i: int, columns=None):
+        import pyarrow as pa
+
+        return pa.Table.from_batches(
+            [self._of.read_stripe(i, columns=columns)]
+        )
+
+    def read(self, columns=None):
+        return self._of.read(columns=columns)
+
+    def close(self):
+        self._fh.close()
+
+
+def open_orc(path: str, fs: _fs.FileSystem | None = None) -> OrcInput:
+    if fs is None:
+        fs, path = resolve(path)
+    return OrcInput(fs.open_input_file(path))
+
+
+def open_input(path: str, fs: _fs.FileSystem | None = None):
+    """Format-dispatched read handle: units carry their own paths, so the
+    encoder opens each by extension — a plan may in principle mix formats
+    (Iceberg tables can)."""
+    if path.endswith(".orc"):
+        return open_orc(path, fs)
+    return open_parquet(path, fs)

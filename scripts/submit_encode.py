@@ -45,11 +45,17 @@ def main() -> None:
         resume=not args.no_resume,
     )
     if args.decode_verify:
-        # pathGlobFilter: fixture dirs may hold the ORC reference copy
-        # (tokens.orc) next to the parquet files encode() planned over
-        src = spark.read.option("pathGlobFilter", "*.parquet").parquet(
-            args.input
-        )
+        from clj_orc_spark.pipeline import pafs
+
+        fs, path = pafs.resolve(args.input)
+        if pafs.list_orc(fs, path) and not pafs.list_parquet(fs, path):
+            src = spark.read.orc(args.input)  # ORC-ingested store (round 5)
+        else:
+            # pathGlobFilter: fixture dirs may hold the ORC reference copy
+            # (tokens.orc) next to the parquet files encode() planned over
+            src = spark.read.option("pathGlobFilter", "*.parquet").parquet(
+                args.input
+            )
         report["verify"] = verify_digest(src, decode(spark, args.out))
     print(json.dumps({"job": "encode", **report}))
     spark.stop()

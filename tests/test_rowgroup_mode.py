@@ -134,7 +134,7 @@ def test_rowgroup_encode_plan_has_zero_shuffles(spark, token_table_dir):
     DataFrame (range → ONE mapInArrow) must contain no Exchange node."""
     from clj_orc_spark.pipeline.encode import (
         OUT_DDL,
-        _parquet_source,
+        _pyarrow_source,
         _rowgroup_plan,
         make_rowgroup_encoder,
         rowgroup_work_df,
@@ -142,7 +142,7 @@ def test_rowgroup_encode_plan_has_zero_shuffles(spark, token_table_dir):
     from clj_orc_spark.plans.explain import explain_str
 
     src = os.path.join(token_table_dir, "tokens.parquet")
-    _, files, _ = _parquet_source(src)
+    _, files, _, _ = _pyarrow_source(src)
     plan = _rowgroup_plan(files, 4, True)
     encoded = rowgroup_work_df(
         spark, plan["parts"], list(range(plan["n_total"]))
