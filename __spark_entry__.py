@@ -806,6 +806,87 @@ def _q_roundtrip_float(spark, sf):
     )
 
 
+def _q_roundtrip_listfloat(spark, sf):
+    """FLOAT-LIST engine round-trip under the oracle (round 5): the
+    embeddings shape (``array<float>``) through the codec core — flattened
+    values encode as IEEE-754 bit patterns (byte-stream split territory),
+    offsets ride the list machinery, and decode applies a CONTAINMENT
+    predicate (any element >= 2.0) answered first by the values payload's
+    zone maps.  Values are exact dyadic quarters (word_length * 0.25, word
+    length <= 8), so every sum is bit-exact in any evaluation order — the
+    comparison tests the engine, not accumulation rounding.  The reference
+    covers float inside compound types via its recursive column walk
+    (`src/orc/col.clj:70-75,83-92`)."""
+    import shutil
+
+    from clj_orc_spark.pipeline import decode, encode
+
+    toks = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "CAST(doc_id AS string) AS doc_id",
+        "transform(split(text, ' '),"
+        " w -> CAST(length(w) * 0.25 AS float)) AS wlens",
+        "source",
+    )
+    base = (f"/tmp/clj-orc-roundtrip-lf-"
+            f"{os.path.basename(os.path.normpath(sf))}-"
+            f"{spark.sparkContext.applicationId}")
+    src, out = base + "-src", base + "-store"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    toks.write.parquet(src)
+    encode(spark, src, out, n_partitions=4, resume=False)
+    dec = decode(spark, out, ranges={"wlens": (2.0, None)})
+    return dec.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.aggregate(
+                "wlens", F.lit(0.0).cast("double"),
+                lambda a, x: a + x.cast("double"),
+            )
+        ).alias("wlen_sum"),
+        F.sum(F.array_max("wlens").cast("double")).alias("wmax_sum"),
+    )
+
+
+def _q_roundtrip_liststr(spark, sf):
+    """STRING-LIST engine round-trip under the oracle (round 5): lists of
+    ANY scalar kind complete the type matrix — here ``array<string>`` (a
+    tags/keywords shape).  Flattened values ride the same string codec
+    stack (ranked dict / FSST) as scalar str columns; decode applies a
+    lexicographic CONTAINMENT predicate (any tag in ['m', 'z']) answered
+    first by the values payload's string zone maps.  The reference's
+    recursive column walk covers string arrays (`src/orc/col.clj:83-92,
+    110-121`)."""
+    import shutil
+
+    from clj_orc_spark.pipeline import decode, encode
+
+    toks = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "CAST(doc_id AS string) AS doc_id",
+        "slice(split(text, ' '), 1, 5) AS tags",
+        "source",
+    )
+    base = (f"/tmp/clj-orc-roundtrip-ls-"
+            f"{os.path.basename(os.path.normpath(sf))}-"
+            f"{spark.sparkContext.applicationId}")
+    src, out = base + "-src", base + "-store"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    toks.write.parquet(src)
+    encode(spark, src, out, n_partitions=4, resume=False)
+    dec = decode(spark, out, ranges={"tags": ("m", "z")})
+    return dec.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("tags").cast("long")).alias("n_tags"),
+        F.sum(
+            F.aggregate(
+                "tags", F.lit(0).cast("long"),
+                lambda a, x: a + F.length(x).cast("long"),
+            )
+        ).alias("tag_chars"),
+    )
+
+
 def _q_roundtrip_nulls(spark, sf):
     """NULLABLE engine round-trip under the oracle (round 5): a table with
     NULLs in a string column, a double column, an int column AND inside
@@ -1130,6 +1211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_general": _shipped(_q_roundtrip_general),
         "roundtrip_orc_input": _shipped(_q_roundtrip_orc_input),
         "roundtrip_float": _shipped(_q_roundtrip_float),
+        "roundtrip_listfloat": _shipped(_q_roundtrip_listfloat),
+        "roundtrip_liststr": _shipped(_q_roundtrip_liststr),
         "roundtrip_nulls": _shipped(_q_roundtrip_nulls),
         "roundtrip_boolbin": _shipped(_q_roundtrip_boolbin),
         "roundtrip_struct": _shipped(_q_roundtrip_struct),
@@ -1269,6 +1352,36 @@ def oracle_sql() -> dict[str, str]:
             "     AS DOUBLE)) AS wf_sum"
             " FROM documents"
             " WHERE CAST(n_chars AS DOUBLE) * 0.25 BETWEEN 25.0 AND 1000.0"
+            " GROUP BY source"
+        ),
+        # roundtrip_listfloat: the float-list store must reproduce DuckDB's
+        # computation on the raw text — exact dyadic quarters, so the float
+        # sums are order-independent; the WHERE mirrors the engine's
+        # containment predicate (any element >= 2.0 ⇔ any word length >= 8)
+        "roundtrip_listfloat": (
+            "SELECT source, count(*) AS n_docs,"
+            " sum(list_aggregate(list_transform(string_split(text, ' '),"
+            "  w -> CAST(length(w) AS DOUBLE) * 0.25), 'sum')) AS wlen_sum,"
+            " sum(list_aggregate(list_transform(string_split(text, ' '),"
+            "  w -> CAST(length(w) AS DOUBLE) * 0.25), 'max')) AS wmax_sum"
+            " FROM documents"
+            " WHERE len(list_filter(string_split(text, ' '),"
+            "  w -> length(w) >= 8)) > 0"
+            " GROUP BY source"
+        ),
+        # roundtrip_liststr: the string-list store must reproduce DuckDB's
+        # computation on the raw text; the WHERE mirrors the engine's
+        # lexicographic containment predicate (any tag in ['m', 'z'])
+        "roundtrip_liststr": (
+            "SELECT source, count(*) AS n_docs,"
+            " CAST(sum(len(list_slice(string_split(text, ' '), 1, 5)))"
+            "  AS BIGINT) AS n_tags,"
+            " CAST(sum(list_aggregate(list_transform("
+            "  list_slice(string_split(text, ' '), 1, 5),"
+            "  t -> length(t)), 'sum')) AS BIGINT) AS tag_chars"
+            " FROM documents"
+            " WHERE len(list_filter(list_slice(string_split(text, ' '),"
+            "  1, 5), t -> t >= 'm' AND t <= 'z')) > 0"
             " GROUP BY source"
         ),
         # roundtrip_nulls: decoded NULLs must behave exactly like the raw

@@ -24,6 +24,7 @@ from . import fsio, pafs
 from .encode import (
     DEFAULT_SCHEMA,
     list_payload_names,
+    list_value_kind,
     map_kinds,
     map_payload_names,
     physical_cols,
@@ -36,10 +37,16 @@ TOKEN_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
 _DDL_TYPE = {"str": "string", "int32": "int", "int64": "bigint",
              "float32": "float", "float64": "double",
              "list32": "array<int>", "list64": "array<bigint>",
+             "listf32": "array<float>", "listf64": "array<double>",
              "date32": "date", "ts_us": "timestamp_ntz",
              "ts_us_utc": "timestamp",
              "bool": "boolean", "binary": "binary"}
-_LIST_VALUE_TYPE = {"list32": pa.int32, "list64": pa.int64}
+_LIST_VALUE_TYPE = {"list32": pa.int32, "list64": pa.int64,
+                    "listf32": pa.float32, "listf64": pa.float64}
+#: float list kind → (unsigned storage dtype, float dtype) — values decode
+#: from the kernels as bit patterns, exactly like scalar float columns
+_LIST_FLOAT_NP = {"listf32": (np.uint32, np.float32),
+                  "listf64": (np.uint64, np.float64)}
 #: int-storage kinds → (numpy storage dtype, arrow type factory).  Temporal
 #: kinds share the int path: same storage bytes, the arrow type restores
 #: date/timestamp semantics exactly (days / micros reinterpret).
@@ -93,11 +100,13 @@ def _pred_target(key: str, kinds: dict) -> tuple[str, str] | None:
 
 def _bound_types(kind: str) -> tuple[tuple, str]:
     """Accepted Python bound types for predicates on a column kind."""
+    if kind.startswith("list<"):  # containment bounds type like the values
+        kind = list_value_kind(kind)
     if kind == "str":
         return (str,), "str"
     if kind == "binary":
         return (bytes,), "bytes"
-    if kind in ("float32", "float64"):
+    if kind in ("float32", "float64", "listf32", "listf64"):
         return (int, float), "int or float"
     if kind == "bool":
         return (int, bool), "int or bool"
@@ -113,7 +122,9 @@ def _ddl_type(kind: str) -> str:
     if kind.startswith("map"):
         kk, vk = map_kinds(kind)
         return f"map<{_DDL_TYPE[kk]}, {_DDL_TYPE[vk]}>"
-    return _DDL_TYPE[kind]
+    if kind.startswith("list<"):  # generic list kinds; legacy short
+        return f"array<{_DDL_TYPE[list_value_kind(kind)]}>"  # names are
+    return _DDL_TYPE[kind]  # in _DDL_TYPE directly
 
 
 def _select_ddl(columns: list[str], schema) -> str:
@@ -219,10 +230,36 @@ def decode_chunk_table(tbl: pa.Table, columns: list[str] | None = None,
     out = {}
     for c in wanted:
         kind = kinds[c]
-        if kind.startswith("list"):
+        if kind.startswith("list") and kind not in _LIST_VALUE_TYPE:
+            # generic list<vk> (round 5): values reassemble through the
+            # same scalar machinery as struct fields / map children, the
+            # offsets index + list-level validity ride the list machinery
             v_name, o_name = phys[c]
-            val_np = np.int32 if kind == "list32" else np.int64
-            flat = cols[v_name].astype(val_np, copy=False)
+            offsets = cols[o_name].astype(np.int64, copy=False)
+            n_l = len(offsets) - 1
+            if n_l and int(offsets[-1]) > np.iinfo(np.int32).max:
+                raise IOError(
+                    f"chunk holds {int(offsets[-1])} list values, beyond "
+                    "int32 list offsets; re-encode with smaller chunk_bytes"
+                )
+            values_arr = _scalar_arr(v_name, list_value_kind(kind))
+            out[c] = pa.Array.from_buffers(
+                pa.list_(values_arr.type), n_l,
+                [_vbuf(o_name),
+                 pa.py_buffer(offsets.astype(np.int32).tobytes())],
+                children=[values_arr],
+            )
+        elif kind.startswith("list"):
+            v_name, o_name = phys[c]
+            if kind in _LIST_FLOAT_NP:
+                u_t, f_t = _LIST_FLOAT_NP[kind]
+                # bit-pattern view back to float — NaN payload bits exact
+                flat = np.ascontiguousarray(
+                    cols[v_name].astype(u_t, copy=False)
+                ).view(f_t)
+            else:
+                val_np = np.int32 if kind == "list32" else np.int64
+                flat = cols[v_name].astype(val_np, copy=False)
             offsets = cols[o_name].astype(np.int64, copy=False)
             n = len(offsets) - 1
             if n and int(offsets[-1]) > np.iinfo(np.int32).max:
@@ -493,11 +530,13 @@ def decode_plan_report(spark, out_dir: str,
     ).first()
 
     def _cast_of(kind):
+        if kind.startswith("list<"):  # generic list: dispatch on value kind
+            kind = list_value_kind(kind)
         if kind == "str":
             return "string"
         if kind == "binary":
             return "binary"
-        if kind in ("float32", "float64"):
+        if kind in ("float32", "float64", "listf32", "listf64"):
             return "double"
         return "long" if kind in ("int64", "list32", "list64", "ts_us", "ts_us_utc") else "int"
 
@@ -653,6 +692,16 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
                 f"ranges column {colname!r} not in store schema {order}"
             )
         pred_kind[colname], pred_phys[colname] = tgt
+        if pred_kind[colname].startswith("list<"):
+            vk = list_value_kind(pred_kind[colname])
+            if vk not in ("int32", "int64", "float32", "float64", "str"):
+                # the exact containment filter compares decoded ELEMENTS
+                # against the bounds; temporal/bool elements would need a
+                # per-element storage cast inside exists() — not supported
+                raise ValueError(
+                    f"range containment on {pred_kind[colname]!r} column "
+                    f"{colname!r} is not supported; filter after decode"
+                )
         want, want_name = _bound_types(pred_kind[colname])
         if any(b is not None and not isinstance(b, want) for b in rng):
             raise TypeError(
@@ -777,11 +826,13 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
         )
 
     def _cast_of(kind: str) -> str:
+        if kind.startswith("list<"):  # generic list: dispatch on value kind
+            kind = list_value_kind(kind)
         if kind == "str":
             return "string"
         if kind == "binary":
             return "binary"
-        if kind in ("float32", "float64"):
+        if kind in ("float32", "float64", "listf32", "listf64"):
             return "double"
         return "long" if kind in ("int64", "list32", "list64", "ts_us", "ts_us_utc") else "int"
 

@@ -107,11 +107,34 @@ DEFAULT_SCHEMA = (
 _KIND_NP = {"int32": np.int32, "int64": np.int64,
             "float32": np.float32, "float64": np.float64,
             "list32": np.int32, "list64": np.int64,
+            "listf32": np.float32, "listf64": np.float64,
             "date32": np.int32, "ts_us": np.int64, "ts_us_utc": np.int64,
             "bool": np.int32}
 
 #: float kind → the same-width unsigned view its bit patterns encode as
-_FLOAT_U = {"float32": np.uint32, "float64": np.uint64}
+#: (scalar float columns AND the flattened values of float lists — the
+#: embeddings shape, array<float>)
+_FLOAT_U = {"float32": np.uint32, "float64": np.uint64,
+            "listf32": np.uint32, "listf64": np.uint64}
+
+#: scalar value kind → the legacy short list-kind name (kept so every store
+#: encoded in rounds 1–5 stays decodable under its recorded descriptor);
+#: every OTHER scalar kind spells its list as ``list<vk>`` (round 5:
+#: lists of ANY scalar kind — str/bool/binary/temporal values flatten
+#: through the same machinery as map values)
+_LIST_LEGACY = {"int32": "list32", "int64": "list64",
+                "float32": "listf32", "float64": "listf64"}
+_LIST_VK = {v: k for k, v in _LIST_LEGACY.items()}
+
+
+def list_value_kind(kind: str) -> str:
+    """Scalar value kind of a list kind (legacy short names or the generic
+    ``list<vk>`` spelling)."""
+    if kind in _LIST_VK:
+        return _LIST_VK[kind]
+    if kind.startswith("list<") and kind.endswith(">"):
+        return kind[5:-1]
+    raise ValueError(f"not a list kind: {kind!r}")
 
 #: kind → the int kind its storage encodes as (bit-exact reinterpret:
 #: date32 = days since epoch, timestamp[us] = micros — the engine analog of
@@ -280,16 +303,14 @@ def derive_schema(arrow_schema) -> list[tuple[str, str]]:
                 )
             out.append((field.name, f"map<{kk},{vk}>"))
         elif _pa.types.is_list(t) or _pa.types.is_large_list(t):
-            vt = t.value_type
-            if vt in (_pa.int32(), _pa.int16(), _pa.int8()):
-                out.append((field.name, "list32"))
-            elif vt == _pa.int64():
-                out.append((field.name, "list64"))
-            else:
+            vk = scalar_kind(t.value_type)
+            if vk is None:
                 raise ValueError(
-                    f"unsupported list value type {vt} for column "
-                    f"{field.name!r}: engine codecs take int32/int64 values"
+                    f"unsupported list value type {t.value_type} for "
+                    f"column {field.name!r}: list values take any scalar "
+                    "kind (str/int/float/bool/binary/temporal)"
                 )
+            out.append((field.name, _LIST_LEGACY.get(vk, f"list<{vk}>")))
         else:
             raise ValueError(
                 f"unsupported column type {t} for {field.name!r}: engine "
@@ -557,8 +578,34 @@ def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int,
             columns[o_name] = (offsets, "int", offsets.nbytes)
             valids[o_name] = valid
             mm[o_name] = {"min": 0, "max": int(offsets[-1])}
-        else:  # list32 / list64
+        elif kind not in _KIND_NP:  # generic list<vk>: str/bool/binary/
+            # temporal values flatten through the same scalar-payload
+            # machinery as map values; offsets carry list-level validity
             v_name, o_name = list_payload_names(name)
+            vk = list_value_kind(kind)
+            col_l = (
+                col_c if col_c is not None
+                else tbl.column(name).combine_chunks()
+            )
+            values = col_l.flatten()
+            lens = np.asarray(
+                pc.fill_null(pc.list_value_length(col_l), 0), dtype=np.int64
+            )
+            if vk in TEMPORAL_STORAGE:
+                values = _temporal_to_storage(values, vk)
+                vk = TEMPORAL_STORAGE[vk]
+            obj, ktag, raw, v_valid, mmv = _scalar_payload(values, vk)
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=offsets[1:])
+            columns[v_name] = (obj, ktag, raw)
+            columns[o_name] = (offsets, "int", offsets.nbytes)
+            valids[v_name] = v_valid
+            valids[o_name] = valid
+            mm[v_name] = mmv
+            mm[o_name] = {"min": 0, "max": int(offsets[-1])}
+        else:  # list32 / list64 / listf32 / listf64 (numeric fast path)
+            v_name, o_name = list_payload_names(name)
+            is_float = kind in _FLOAT_U
             vals_nulls = (
                 col_c.flatten().null_count if col_c is not None else 0
             )
@@ -578,8 +625,6 @@ def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int,
                     pc.fill_null(values, 0) if vals_nulls else values,
                     dtype=_KIND_NP[kind],
                 )
-                vlohi = pc.min_max(values)
-                v_mn, v_mx = vlohi["min"].as_py(), vlohi["max"].as_py()
             else:
                 flat = _flatten_list(tbl.column(name), _KIND_NP[kind])
                 lens = np.asarray(
@@ -587,11 +632,29 @@ def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int,
                     dtype=np.int64,
                 )
                 v_valid = None
+            if is_float:
+                # same contract as scalar floats: kernels see the exact bit
+                # pattern (NaN payloads round-trip); NaN/Inf values make the
+                # chunk stat-less (NaN breaks ordered zone maps and isn't
+                # strict JSON) — conservatively kept by the pruner
+                fin = flat[v_valid] if v_valid is not None else flat
+                if len(fin) and bool(np.isfinite(fin).all()):
+                    v_mn, v_mx = float(fin.min()), float(fin.max())
+                else:
+                    v_mn = v_mx = None
+            elif v_valid is not None:
+                vals = flat[v_valid]
+                v_mn = int(vals.min()) if len(vals) else None
+                v_mx = int(vals.max()) if len(vals) else None
+            else:
                 v_mn = int(flat.min()) if len(flat) else None
                 v_mx = int(flat.max()) if len(flat) else None
             offsets = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(lens, out=offsets[1:])
-            columns[v_name] = (flat, "int", flat.nbytes)
+            columns[v_name] = (
+                (flat.view(_FLOAT_U[kind]), "float", flat.nbytes)
+                if is_float else (flat, "int", flat.nbytes)
+            )
             columns[o_name] = (offsets, "int", offsets.nbytes)
             # list-level validity rides on the offsets payload
             valids[v_name] = v_valid
@@ -889,10 +952,22 @@ def _row_weight_csum(tbl: pa.Table, schema) -> np.ndarray:
     w = None
     for name, kind in schema:
         if kind.startswith("list"):
+            if kind in _KIND_NP:
+                width = _KIND_NP[kind]().itemsize
+            else:  # generic list<vk>: str/binary values priced at 16 B
+                vk = list_value_kind(kind)
+                width = (
+                    16 if vk in ("str", "binary")
+                    else _KIND_NP[TEMPORAL_STORAGE.get(vk, vk)]().itemsize
+                )
+            # fill_null: a NULL list entry otherwise casts to INT_MIN and
+            # corrupts the cumulative budget (negative weights)
             lens = np.asarray(
-                pc.list_value_length(tbl.column(name)).combine_chunks(),
+                pc.fill_null(
+                    pc.list_value_length(tbl.column(name)), 0
+                ).combine_chunks(),
                 dtype=np.int64,
-            ) * _KIND_NP[kind]().itemsize
+            ) * width
             w = lens if w is None else w + lens
         elif kind.startswith("map"):
             kk, vk = map_kinds(kind)

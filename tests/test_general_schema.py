@@ -79,8 +79,12 @@ def test_schema_derivation():
     # (test_temporal_map_schema.py); decimals stay a loud plan-time error
     with pytest.raises(ValueError, match="unsupported"):
         derive_schema(pa.schema([pa.field("x", pa.decimal128(10, 2))]))
+    # list<str> is a supported generic list kind since round 5
+    # (test_listany_schema.py); nested lists stay a loud plan-time error
     with pytest.raises(ValueError, match="unsupported list value"):
-        derive_schema(pa.schema([pa.field("x", pa.list_(pa.string()))]))
+        derive_schema(
+            pa.schema([pa.field("x", pa.list_(pa.list_(pa.int32())))])
+        )
 
 
 def test_general_schema_roundtrip_bit_identical(spark, store):
@@ -349,7 +353,7 @@ if _HAS_HYP:
 
     _KINDS = st.sampled_from(
         ["str", "int32", "int64", "float32", "float64", "list32", "list64",
-         "bool", "binary"]
+         "listf32", "listf64", "bool", "binary"]
     )
 
     def _col_data(draw, kind, n):
@@ -385,6 +389,26 @@ if _HAS_HYP:
             vals = draw(st.lists(st.integers(-(2**63), 2**63 - 1),
                                  min_size=n, max_size=n))
             return _pa.array(vals, type=_pa.int64())
+        if kind in ("listf32", "listf64"):
+            # float lists via arbitrary bit patterns (NaN payloads, ±inf,
+            # subnormals), flattened + offsets — the embeddings shape
+            w = 32 if kind == "listf32" else 64
+            lens = draw(st.lists(st.integers(0, 6), min_size=n, max_size=n))
+            total = sum(lens)
+            bits = draw(st.lists(st.integers(0, 2**w - 1),
+                                 min_size=total, max_size=total))
+            if kind == "listf32":
+                flat = np.array(bits, dtype=np.uint64).astype(
+                    np.uint32).view(np.float32)
+                vt = _pa.float32()
+            else:
+                flat = np.array(bits, dtype=np.uint64).view(np.float64)
+                vt = _pa.float64()
+            off = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(lens, out=off[1:])
+            return _pa.ListArray.from_arrays(
+                _pa.array(off), _pa.array(flat, type=vt)
+            )
         vt = _pa.int32() if kind == "list32" else _pa.int64()
         bound = 2**31 - 1 if kind == "list32" else 2**63 - 1
         vals = draw(st.lists(
@@ -424,5 +448,15 @@ if _HAS_HYP:
                 wb = want.combine_chunks().to_numpy(
                     zero_copy_only=False).view(u)
                 assert np.array_equal(gb, wb), (name, kind)
+            elif kind in ("listf32", "listf64"):
+                u = np.uint32 if kind == "listf32" else np.uint64
+                g, w = got.combine_chunks(), want.combine_chunks()
+                assert np.array_equal(
+                    np.asarray(g.offsets), np.asarray(w.offsets)
+                ), (name, kind)
+                assert np.array_equal(
+                    g.flatten().to_numpy(zero_copy_only=False).view(u),
+                    w.flatten().to_numpy(zero_copy_only=False).view(u),
+                ), (name, kind)
             else:
                 assert got.to_pylist() == want.to_pylist(), (name, kind)
