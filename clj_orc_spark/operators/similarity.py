@@ -95,9 +95,17 @@ def train_ivf(df: DataFrame, n_centroids: int = 16, vec_col: str = "embedding",
     if n == 0:
         raise ValueError("cannot train IVF codebook on an empty DataFrame")
     frac = min(1.0, 1.25 * sample_rows / n)
-    vecs = df.select(vec_col).sample(fraction=frac, seed=seed).toPandas()[
-        vec_col
-    ].to_list()
+    # hard driver-OOM guard: if countApprox badly UNDER-estimated n (skewed
+    # partitions, tiny ones finishing inside the timeout), frac over-shoots
+    # and the collect below would pull an unbounded share of the table.
+    # The cap is far above the intended ~1.25x sample, so on the normal
+    # path every sampled row passes and no partition-order bias applies;
+    # it only clips the pathological case.
+    cap = max(20 * sample_rows, 4096)
+    vecs = (
+        df.select(vec_col).sample(fraction=frac, seed=seed)
+        .limit(cap).toPandas()[vec_col].to_list()
+    )
     if not vecs:  # tiny-fraction edge: sampling returned nothing — re-sample
         # wider rather than silently reverting to the first-partition-biased
         # limit() path this sampler exists to replace
@@ -109,7 +117,7 @@ def train_ivf(df: DataFrame, n_centroids: int = 16, vec_col: str = "embedding",
         )
         vecs = df.select(vec_col).sample(
             fraction=min(1.0, 10 * frac), seed=seed
-        ).toPandas()[vec_col].to_list()
+        ).limit(cap).toPandas()[vec_col].to_list()
         if not vecs:
             raise ValueError(
                 "IVF codebook sample is empty even at 10x fraction — "

@@ -113,6 +113,21 @@ def _bound_types(kind: str) -> tuple[tuple, str]:
     return (int,), "int"
 
 
+def _zone_cast(kind: str) -> str:
+    """Spark cast type for comparing a column kind's zone-map stats (the
+    manifest records them as JSON strings).  One shared helper for decode()
+    and decode_plan_report() — the two predicate paths must never drift."""
+    if kind.startswith("list<"):  # generic list: dispatch on value kind
+        kind = list_value_kind(kind)
+    if kind == "str":
+        return "string"
+    if kind == "binary":
+        return "binary"
+    if kind in ("float32", "float64", "listf32", "listf64"):
+        return "double"
+    return "long" if kind in ("int64", "list32", "list64", "ts_us", "ts_us_utc") else "int"
+
+
 def _ddl_type(kind: str) -> str:
     if kind.startswith("struct"):
         inner = ", ".join(
@@ -288,27 +303,6 @@ def decode_chunk_table(tbl: pa.Table, columns: list[str] | None = None,
                     pa.array(offsets.astype(np.int32)),
                     pa.array(flat, type=_LIST_VALUE_TYPE[kind]()),
                 )
-        elif kind in _INT_TYPE:
-            np_t, pa_t = _INT_TYPE[kind]
-            arr = np.ascontiguousarray(cols[c].astype(np_t, copy=False))
-            if c in valid_bufs:
-                out[c] = pa.Array.from_buffers(
-                    pa_t(), len(arr),
-                    [_vbuf(c), pa.py_buffer(arr.tobytes())],
-                )
-            else:
-                out[c] = pa.array(arr, type=pa_t())
-        elif kind in _FLOAT_TYPE:
-            u_t, f_t, pa_t = _FLOAT_TYPE[kind]
-            # bit-pattern view back to float — NaN payload bits exact
-            arr = np.ascontiguousarray(cols[c].astype(u_t, copy=False)).view(f_t)
-            if c in valid_bufs:
-                out[c] = pa.Array.from_buffers(
-                    pa_t(), len(arr),
-                    [_vbuf(c), pa.py_buffer(arr.tobytes())],
-                )
-            else:
-                out[c] = pa.array(arr, type=pa_t())
         elif kind.startswith("struct"):
             # shredded struct reassembly: children from their own payloads
             # (each with its own validity), struct-level validity from the
@@ -353,21 +347,11 @@ def decode_chunk_table(tbl: pa.Table, columns: list[str] | None = None,
                  pa.py_buffer(offsets.astype(np.int32).tobytes())],
                 children=[entries],
             )
-        elif kind == "bool":
-            out[c] = _scalar_arr(c, "bool")
         else:
-            arr = cols[c].to_arrow()
-            if c in valid_bufs:
-                bufs = arr.buffers()
-                arr = pa.Array.from_buffers(
-                    arr.type, len(arr), [_vbuf(c), bufs[1], bufs[2]]
-                )
-            if kind == "binary":
-                arr = arr.view(
-                    pa.large_binary()
-                    if pa.types.is_large_string(arr.type) else pa.binary()
-                )
-            out[c] = arr
+            # every scalar kind — int/temporal/float/bool/str/binary —
+            # reassembles through the one scalar path (validity bitmaps,
+            # uint-view-to-float, large_binary view all live there)
+            out[c] = _scalar_arr(c, kind)
     return pa.table(out)
 
 
@@ -529,30 +513,40 @@ def decode_plan_report(spark, out_dir: str,
         F.countDistinct("file").alias("f"),
     ).first()
 
-    def _cast_of(kind):
-        if kind.startswith("list<"):  # generic list: dispatch on value kind
-            kind = list_value_kind(kind)
-        if kind == "str":
-            return "string"
-        if kind == "binary":
-            return "binary"
-        if kind in ("float32", "float64", "listf32", "listf64"):
-            return "double"
-        return "long" if kind in ("int64", "list32", "list64", "ts_us", "ts_us_utc") else "int"
+
+    def _report_target(colname, what):
+        # same plan-time rules as decode(): a struct/map logical column has
+        # no stat rows of its own — without this guard the report would
+        # silently claim full pruning (0 chunks kept) instead of raising
+        if colname in kinds and kinds[colname].startswith(("struct", "map")):
+            raise ValueError(
+                f"predicates on struct/map column {colname!r} are not "
+                f"supported; use a shredded struct field "
+                f"('{colname}.<field>')"
+            )
+        tgt = _pred_target(colname, kinds)
+        if tgt is None:
+            raise ValueError(
+                f"{what} column {colname!r} not in store schema"
+            )
+        return tgt
+
+    def _norm(kind, v):
+        # bool bounds normalize to the 0/1 storage ints the zone maps hold
+        # (decode() does the same at plan time)
+        return int(v) if kind == "bool" and v is not None else v
 
     range_specs, isin_specs = [], []
     for colname, (lo, hi) in (ranges or {}).items():
-        tgt = _pred_target(colname, kinds)
-        if tgt is None:
-            raise ValueError(f"ranges column {colname!r} not in store schema")
-        kind, phys = tgt
-        range_specs.append((phys, lo, hi, _cast_of(kind)))
+        kind, phys = _report_target(colname, "ranges")
+        range_specs.append(
+            (phys, _norm(kind, lo), _norm(kind, hi), _zone_cast(kind))
+        )
     for colname, v in (isin or {}).items():
-        tgt = _pred_target(colname, kinds)
-        if tgt is None:
-            raise ValueError(f"isin column {colname!r} not in store schema")
-        kind, phys = tgt
-        isin_specs.append((phys, list(v), _cast_of(kind)))
+        kind, phys = _report_target(colname, "isin")
+        isin_specs.append(
+            (phys, [_norm(kind, x) for x in v], _zone_cast(kind))
+        )
     pruned = _stat_pruned_specs(spark, out_dir, None, range_specs, isin_specs)
     if pruned is None:  # no predicates or stat-less store: everything kept
         kept_c, kept_f = totals["c"], totals["f"]
@@ -784,15 +778,27 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
         kind = pred_kind[colname]
         if kind == "date32":
             return F.unix_date(F.col(colname))
-        if kind in ("ts_us", "ts_us_utc"):
-            return F.unix_micros(
-                F.col(colname).cast("timestamp")
-                if kind == "ts_us" else F.col(colname)
-            )
+        if kind == "ts_us_utc":
+            return F.unix_micros(F.col(colname))
         if kind == "bool":
             # bounds are 0/1 storage ints (normalized at plan time)
             return F.col(colname).cast("int")
+        # ts_us compares the NTZ column directly against a typed
+        # TIMESTAMP_NTZ literal (_pred_bound) — casting the column to
+        # TIMESTAMP would reinterpret the wall clock in the SESSION
+        # timezone while the zone maps compare raw storage micros:
+        # silently wrong pruning on any non-UTC session.
         return F.col(colname)
+
+    def _pred_bound(colname, v):
+        if pred_kind[colname] == "ts_us":
+            import datetime as _dt
+
+            wall = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
+            return F.expr(
+                f"TIMESTAMP_NTZ '{wall.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+            )
+        return F.lit(v)
 
     def exact_filter(df):
         for colname, (lo, hi) in ranges.items():
@@ -800,11 +806,26 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
                 df = df.where(F.exists(colname, _containment(lo, hi)))
             else:
                 if lo is not None:
-                    df = df.where(_pred_col(colname) >= F.lit(lo))
+                    df = df.where(
+                        _pred_col(colname) >= _pred_bound(colname, lo)
+                    )
                 if hi is not None:
-                    df = df.where(_pred_col(colname) <= F.lit(hi))
+                    df = df.where(
+                        _pred_col(colname) <= _pred_bound(colname, hi)
+                    )
         for colname, vals in isin.items():
-            df = df.where(_pred_col(colname).isin(list(vals)))
+            if pred_kind[colname] == "ts_us":
+                # NTZ equality against typed TIMESTAMP_NTZ literals (isin
+                # would compare int micros through a session-tz cast)
+                conds = [
+                    F.col(colname) == _pred_bound(colname, v) for v in vals
+                ]
+                cond = conds[0]
+                for extra in conds[1:]:
+                    cond = cond | extra
+                df = df.where(cond)
+            else:
+                df = df.where(_pred_col(colname).isin(list(vals)))
         return df
 
     chunks_dir = os.path.join(out_dir, "chunks")
@@ -825,23 +846,13 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
             chunks.groupBy("chunk_id").applyInArrow(decode_group, ddl)
         )
 
-    def _cast_of(kind: str) -> str:
-        if kind.startswith("list<"):  # generic list: dispatch on value kind
-            kind = list_value_kind(kind)
-        if kind == "str":
-            return "string"
-        if kind == "binary":
-            return "binary"
-        if kind in ("float32", "float64", "listf32", "listf64"):
-            return "double"
-        return "long" if kind in ("int64", "list32", "list64", "ts_us", "ts_us_utc") else "int"
 
     range_specs = [
-        (pred_phys[c], lo, hi, _cast_of(pred_kind[c]))
+        (pred_phys[c], lo, hi, _zone_cast(pred_kind[c]))
         for c, (lo, hi) in ranges.items()
     ]
     isin_specs = [
-        (pred_phys[c], list(v), _cast_of(pred_kind[c]))
+        (pred_phys[c], list(v), _zone_cast(pred_kind[c]))
         for c, v in isin.items()
     ]
     work_rows = None

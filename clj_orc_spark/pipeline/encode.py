@@ -780,8 +780,11 @@ def _pyarrow_source(
     URIs (pafs.resolve), or an explicit ``filesystem=`` object.  ``fmt`` is
     ``"parquet"`` or ``"orc"`` (the reference's own on-disk format — parity
     with its S3A ORC flow, `/root/reference/src/orc/read.clj:27-49`); a
-    location holding BOTH raises rather than silently encoding half the
-    data.  Returns ``(None, None, fmt, reason)`` when pyarrow can't serve it
+    location holding BOTH takes the parquet files and WARNS — fixture dirs
+    keep an ORC reference copy next to the parquet data (datagen's
+    ``with_orc_reference``), and silently raising here would reject inputs
+    every prior round accepted.  Returns ``(None, None, fmt, reason)`` when
+    pyarrow can't serve it
     (unknown scheme, unreachable store, no parquet/orc files): the caller
     falls back to the JVM scan and RECORDS the reason — at 100 TB a silent
     fallback moves every token byte through a shuffle the operator never
@@ -796,17 +799,47 @@ def _pyarrow_source(
         return None, None, "parquet", (
             f"pyarrow.fs cannot serve {input_path!r}: {e}")
     if files and orc_files:
-        raise ValueError(
-            f"{input_path!r} holds both .parquet and .orc files — encode "
-            "one homogeneous dataset per store (pass the format's "
-            "subdirectory)"
+        import warnings
+
+        warnings.warn(
+            f"{input_path!r} holds both .parquet and .orc files; encoding "
+            f"the {len(files)} parquet file(s) and ignoring the "
+            f"{len(orc_files)} .orc file(s) — pass the format's "
+            "subdirectory to encode the ORC copy instead"
         )
+        return fs, files, "parquet", None
     if orc_files:
         return fs, orc_files, "orc", None
     if not files:
         return None, None, "parquet", (
             f"no .parquet or .orc files under {input_path!r}")
     return fs, files, "parquet", None
+
+
+def _jvm_fmt_sniff(spark, path: str, default: str = "parquet") -> str:
+    """Input format for the DEGRADED path (pyarrow cannot serve the store,
+    so the pyarrow listing never ran): ask the JVM Hadoop FS — it CAN reach
+    the store, or the JVM scan wouldn't work either.  Without this,
+    scan="jvm" over an ORC location pyarrow can't reach would run
+    spark.read.parquet and fail with an unrelated schema error."""
+    try:
+        if path.endswith(".orc"):
+            return "orc"
+        from . import fsio
+
+        fs, jpath = fsio._fs(spark, path)
+        it = fs.listFiles(jpath, True)
+        for _ in range(1000):  # bounded: one format decides it
+            if not it.hasNext():
+                break
+            name = it.next().getPath().getName()
+            if name.endswith(".orc"):
+                return "orc"
+            if name.endswith(".parquet"):
+                return "parquet"
+    except Exception:
+        pass
+    return default
 
 
 def _lpt_pack(units: list[tuple], n_bins: int) -> list[list]:
@@ -1469,6 +1502,11 @@ def encode(
     # resolved even for scan="jvm": the file list feeds the footer row
     # count (no Spark job) — only the PHYSICAL scan choice ignores it there
     fs, files, fmt, degraded_reason = _pyarrow_source(input_path, filesystem)
+    if degraded_reason and input_path is not None:
+        # pyarrow never listed the store, so fmt above is just the default —
+        # the JVM (which CAN reach it, or the fallback scan would fail too)
+        # decides parquet vs ORC for the spark.read call
+        fmt = _jvm_fmt_sniff(spark, input_path, fmt)
     if fs is None and filesystem is not None:
         fs = filesystem  # plan= with input_path=None: the caller's
         # credential-configured filesystem must still reach executor reads

@@ -37,11 +37,20 @@ def _source_log_files(spark, checkpoint: str, batch_id: int) -> list[str]:
 
     from ..pipeline import fsio
 
-    path = os.path.join(checkpoint, "sources", "0", str(int(batch_id)))
+    base = os.path.join(checkpoint, "sources", "0", str(int(batch_id)))
+    # every compactInterval-th batch (default 10) the source writes
+    # <id>.compact holding ALL entries so far, each tagged with its
+    # batchId — without checking it those batches would silently fall
+    # back to the shuffle decode
+    compact = None
     try:
-        if not fsio.exists(spark, path):
+        if fsio.exists(spark, base):
+            text = fsio.read_text(spark, base)
+        elif fsio.exists(spark, base + ".compact"):
+            text = fsio.read_text(spark, base + ".compact")
+            compact = int(batch_id)
+        else:
             return []
-        text = fsio.read_text(spark, path)
     except Exception:
         return []
     files = []
@@ -50,7 +59,10 @@ def _source_log_files(spark, checkpoint: str, batch_id: int) -> list[str]:
         if not line or line.startswith("v"):
             continue
         try:
-            files.append(json.loads(line)["path"])
+            entry = json.loads(line)
+            if compact is not None and int(entry.get("batchId", -1)) != compact:
+                continue
+            files.append(entry["path"])
         except (ValueError, KeyError, TypeError):
             return []  # unknown format: never guess, take the safe path
     return sorted(files)
