@@ -892,25 +892,8 @@ def _rowgroup_plan(files: list[str], n_partitions: int,
     """
     import pyarrow.parquet as pq
 
-    units: list[tuple[float, str, int, int, int]] = []  # weight,f,rg,lo,hi
-    ref_schema = ref_file = None
-
-    def check_schema(schema, f):
-        # plan-time schema homogeneity (footers are read here anyway): a
-        # stray file with a different schema would otherwise fail mid-encode
-        # in whichever task drew it, with half the store already written.
-        # Compared as Arrow schemas so a parquet plan and an ORC plan use
-        # one notion of "same".
-        nonlocal ref_schema, ref_file
-        if ref_schema is None:
-            ref_schema, ref_file = schema, f
-        elif not schema.equals(ref_schema):
-            raise ValueError(
-                f"input files disagree on schema: {f!r} differs from "
-                f"{ref_file!r} — encode one homogeneous dataset per store"
-            )
-
-    for f in files:
+    def footer_units(f: str):
+        """(schema, [unit, ...]) for one file — pure metadata, no data read."""
         if f.endswith(".orc"):
             # ORC footers don't expose per-stripe byte/row counts through
             # pyarrow, so stripes weigh file_bytes/nstripes — writers target
@@ -920,19 +903,49 @@ def _rowgroup_plan(files: list[str], n_partitions: int,
             wfs, wpath = (fs, f) if fs is not None else pafs.resolve(f)
             h = pafs.OrcInput(wfs.open_input_file(wpath))
             try:
-                check_schema(h.schema, f)
                 fsize = float(wfs.get_file_info(wpath).size or 0)
                 w = fsize / max(1, h.nstripes)
-                for i in range(h.nstripes):
-                    units.append((w, f, i, 0, -1))
+                return h.schema, [
+                    (w, f, i, 0, -1) for i in range(h.nstripes)
+                ]
             finally:
                 h.close()
-            continue
         md = pq.read_metadata(f, filesystem=fs)
-        check_schema(md.schema.to_arrow_schema(), f)
-        for i in range(md.num_row_groups):
-            rg = md.row_group(i)
-            units.append((float(rg.total_byte_size), f, i, 0, rg.num_rows))
+        return md.schema.to_arrow_schema(), [
+            (float(md.row_group(i).total_byte_size), f, i, 0,
+             md.row_group(i).num_rows)
+            for i in range(md.num_row_groups)
+        ]
+
+    # footer fetches are tiny metadata reads dominated by per-request
+    # latency (an object-store GET each): at 100k input files a serial
+    # driver loop IS the planning bottleneck, so fetch concurrently
+    # (pyarrow releases the GIL on I/O) and reassemble in file order —
+    # plan output stays byte-deterministic
+    if len(files) > 4:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(16, len(files))) as pool:
+            per_file = list(pool.map(footer_units, files))
+    else:
+        per_file = [footer_units(f) for f in files]
+
+    units: list[tuple[float, str, int, int, int]] = []  # weight,f,rg,lo,hi
+    ref_schema = ref_file = None
+    for f, (schema, file_units) in zip(files, per_file):
+        # plan-time schema homogeneity (footers are read here anyway): a
+        # stray file with a different schema would otherwise fail mid-encode
+        # in whichever task drew it, with half the store already written.
+        # Compared as Arrow schemas so a parquet plan and an ORC plan use
+        # one notion of "same".
+        if ref_schema is None:
+            ref_schema, ref_file = schema, f
+        elif not schema.equals(ref_schema):
+            raise ValueError(
+                f"input files disagree on schema: {f!r} differs from "
+                f"{ref_file!r} — encode one homogeneous dataset per store"
+            )
+        units.extend(file_units)
     if not units:
         return {"mode": "rowgroup", "n_total": 1, "parts": [[]]}
 
@@ -1247,6 +1260,11 @@ def _input_row_count(files: list[str] | None, fs=None) -> int | None:
         return pq.read_metadata(f, filesystem=fs).num_rows
 
     try:
+        if len(files) > 4:  # latency-bound metadata GETs: fetch concurrently
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(16, len(files))) as pool:
+                return sum(pool.map(count, files)) or None
         return sum(count(f) for f in files) or None
     except Exception:
         return None

@@ -162,3 +162,39 @@ def test_rowgroup_plan_reused_on_resume(spark, token_table_dir, tmp_dir):
     assert _plan(out) == before
     v = verify_roundtrip(spark.read.parquet(src), decode(spark, out))
     assert v["bit_identical"]
+
+
+def test_many_file_plan_is_deterministic_and_parallel_safe(tmp_path):
+    """Footer fetches run on a thread pool past 4 files (at 100k files a
+    serial driver loop is the planning bottleneck); the plan must stay
+    byte-deterministic in file order, and the cross-file schema check must
+    still raise through the concurrent path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clj_orc_spark.pipeline.encode import _rowgroup_plan
+
+    files = []
+    for i in range(9):
+        t = pa.table({
+            "doc_id": pa.array([f"d{i}-{j}" for j in range(20)]),
+            "tokens": pa.array([[i, j] for j in range(20)],
+                               type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * 20, type=pa.int32()),
+            "source": pa.array(["s"] * 20),
+        })
+        f = str(tmp_path / f"part-{i:02d}.parquet")
+        pq.write_table(t, f)
+        files.append(f)
+    p1 = _rowgroup_plan(files, 4, False)
+    p2 = _rowgroup_plan(files, 4, False)
+    assert p1 == p2
+    got_files = sorted({u[0] for part in p1["parts"] for u in part})
+    assert got_files == sorted(files)
+    # schema mismatch across files still raises through the pool
+    bad = str(tmp_path / "part-99.parquet")
+    pq.write_table(pa.table({"other": pa.array([1, 2])}), bad)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="disagree on schema"):
+        _rowgroup_plan(files + [bad], 4, False)
