@@ -676,6 +676,35 @@ def _q_roundtrip_pruned(spark, sf):
     return _roundtrip_agg(decode(spark, out, doc_id_range=("1", "4")))
 
 
+def _q_roundtrip_sorted(spark, sf):
+    """ZONE-MAP CLUSTERING under the oracle (round 5): the store is encoded
+    with ``sort_by="n_tok"`` — rows sorted within each partition before
+    chunk slicing (NO added shuffle), so every chunk's n_tok min/max spans
+    a narrow band and the range predicate prunes most chunks from the
+    manifest alone.  The decoded+filtered aggregate must still reproduce
+    DuckDB's WHERE exactly: clustering changes layout, never content."""
+    import shutil
+
+    from clj_orc_spark.pipeline import decode, encode
+
+    toks = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .selectExpr(
+            "CAST(doc_id AS string) AS doc_id",
+            "transform(split(text, ' '), w -> length(w)) AS tokens",
+            "CAST(size(split(text, ' ')) AS int) AS n_tok",
+            "source",
+        )
+    )
+    out = (f"/tmp/clj-orc-roundtrip-sortb-"
+           f"{os.path.basename(os.path.normpath(sf))}-"
+           f"{spark.sparkContext.applicationId}")
+    shutil.rmtree(out, ignore_errors=True)
+    encode(spark, df=toks, out_dir=out, n_partitions=4, resume=False,
+           chunk_bytes=256 << 10, sort_by="n_tok")
+    return _roundtrip_agg(decode(spark, out, n_tok_range=(40, 55)))
+
+
 def _q_roundtrip_source_pruned(spark, sf):
     """Zone-map SOURCE membership decode under the oracle: chunk pruning on
     the recorded source min/max stats plus the exact isin filter must
@@ -1206,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_roundtrip": _shipped(_q_encode_roundtrip),
         "roundtrip_sql": _shipped(_q_roundtrip_sql),
         "roundtrip_pruned": _shipped(_q_roundtrip_pruned),
+        "roundtrip_sorted": _shipped(_q_roundtrip_sorted),
         "roundtrip_source_pruned": _shipped(_q_roundtrip_source_pruned),
         "roundtrip_token_pruned": _shipped(_q_roundtrip_token_pruned),
         "roundtrip_general": _shipped(_q_roundtrip_general),
@@ -1312,6 +1342,18 @@ def oracle_sql() -> dict[str, str]:
             "  w -> length(w)), 'sum')) AS BIGINT) AS total_word_chars"
             " FROM documents"
             " WHERE CAST(doc_id AS VARCHAR) BETWEEN '1' AND '4'"
+            " GROUP BY source"
+        ),
+        "roundtrip_sorted": (
+            # clustering changes chunk layout only — the n_tok-range WHERE
+            # must see exactly the same rows as the unsorted stores
+            "SELECT source, count(*) AS n_docs,"
+            " CAST(sum(len(string_split(text, ' '))) AS BIGINT)"
+            "  AS total_words,"
+            " CAST(sum(list_aggregate(list_transform(string_split(text, ' '),"
+            "  w -> length(w)), 'sum')) AS BIGINT) AS total_word_chars"
+            " FROM documents"
+            " WHERE len(string_split(text, ' ')) BETWEEN 40 AND 55"
             " GROUP BY source"
         ),
         "roundtrip_source_pruned": (

@@ -1062,7 +1062,7 @@ def _row_weight_csum(tbl: pa.Table, schema) -> np.ndarray:
 
 
 def make_rowgroup_encoder(chunk_bytes: int, fs=None, policy: str = "size",
-                          schema=DEFAULT_SCHEMA):
+                          schema=DEFAULT_SCHEMA, sort_by=None):
     """ONE-stage scan+encode for ``mapInArrow`` over :func:`rowgroup_work_df`.
 
     Each task owns one ``part_id`` (a planned bin of row groups): it reads
@@ -1118,6 +1118,14 @@ def make_rowgroup_encoder(chunk_bytes: int, fs=None, policy: str = "size",
                 tbl = handles[f].read_row_group(int(rg), columns=cols)
             if int(hi) >= 0:
                 tbl = tbl.slice(int(lo), int(hi) - int(lo))
+            if sort_by:
+                # ZONE-MAP CLUSTERING (round 5): sort the row group by the
+                # caller's keys before chunk slicing, so each chunk's
+                # min/max covers a narrow key range and range predicates
+                # prune most chunks.  Runs in the background reader thread
+                # (overlapped with the kernels), costs no shuffle — at
+                # 100 TB this is clustering WITHOUT the cluster-wide sort.
+                tbl = tbl.sort_by([(c, "ascending") for c in sort_by])
             return tbl
 
         # READ/ENCODE OVERLAP: one background reader prefetches row group
@@ -1273,7 +1281,8 @@ def _input_row_count(files: list[str] | None, fs=None) -> int | None:
 def _load_or_compute_plan(spark, df, out_dir: str, n_partitions: int,
                           files: list[str] | None, fs=None,
                           assign_hash: str = "xxhash64",
-                          degraded_from: str | None = None) -> dict:
+                          degraded_from: str | None = None,
+                          sort_by: list[str] | None = None) -> dict:
     """Plan once, persist, reuse — resumed runs must assign identical
     part_ids or per-partition lineage is meaningless.  ``assign_hash``
     records which salting hash the run uses (fnv1a for the fused pyarrow
@@ -1287,6 +1296,8 @@ def _load_or_compute_plan(spark, df, out_dir: str, n_partitions: int,
         return json.loads(fsio.read_text(spark, plan_path))
     plan = compute_plan(df, n_partitions, total_rows=_input_row_count(files, fs))
     plan["assign_hash"] = assign_hash
+    if sort_by:
+        plan["sort_by"] = list(sort_by)
     if degraded_from:
         plan["degraded_from"] = degraded_from
     fsio.write_text(spark, plan_path, json.dumps(plan))
@@ -1311,7 +1322,8 @@ def _schema_from_files(files: list[str] | None, fs=None):
 
 def _load_or_compute_rowgroup_plan(spark, out_dir: str, files: list[str],
                                    n_partitions: int, explicit: bool,
-                                   fs=None, plan: dict | None = None) -> dict:
+                                   fs=None, plan: dict | None = None,
+                                   sort_by: list[str] | None = None) -> dict:
     """Rowgroup-mode twin of :func:`_load_or_compute_plan` — the persisted
     plan IS the part→row-group assignment, so a resume re-encodes exactly
     the pending bins regardless of file-listing order or bin-packing ties.
@@ -1339,6 +1351,8 @@ def _load_or_compute_rowgroup_plan(spark, out_dir: str, files: list[str],
             except Exception:
                 schema = [list(t) for t in DEFAULT_SCHEMA]
         plan["schema"] = [list(t) for t in schema]
+    if sort_by:
+        plan["sort_by"] = list(sort_by)
     fsio.write_text(spark, plan_path, json.dumps(plan))
     return plan
 
@@ -1461,6 +1475,7 @@ def encode(
     filesystem=None,
     plan: dict | None = None,
     selection: str = "size",
+    sort_by: list[str] | str | None = None,
 ) -> dict:
     """Run the encode job; resumable via the parts manifest.
 
@@ -1515,6 +1530,9 @@ def encode(
                          f"df= and scan={scan!r}")
     explicit_parts = n_partitions is not None
     user_plan = plan  # caller-supplied plan (vs the persisted one loaded below)
+    if isinstance(sort_by, str):
+        sort_by = [sort_by]
+    sort_by = list(sort_by) if sort_by else None
 
     t0 = time.time()
     # resolved even for scan="jvm": the file list feeds the footer row
@@ -1567,7 +1585,8 @@ def encode(
                 n_partitions, spark.sparkContext.defaultParallelism * 2
             )
         plan = _load_or_compute_rowgroup_plan(
-            spark, out_dir, scan_files, n_partitions, explicit_parts, fs, plan
+            spark, out_dir, scan_files, n_partitions, explicit_parts, fs,
+            plan, sort_by
         )
     else:
         if df is None:
@@ -1576,9 +1595,30 @@ def encode(
             spark, df, out_dir, n_partitions, files, fs,
             assign_hash="fnv1a" if scan_files else "xxhash64",
             degraded_from=degraded_reason if scan == "auto" else None,
+            sort_by=sort_by,
         )
     mode = plan.get("mode", "salted")
     schema = [tuple(t) for t in plan.get("schema", [])] or list(DEFAULT_SCHEMA)
+    # sort_by is part of the persisted layout contract (chunk boundaries and
+    # zone maps depend on it): a resume adopts the recorded order, and a
+    # conflicting explicit request must fail loudly, not silently mix
+    # sorted and unsorted partitions in one store
+    eff_sort = plan.get("sort_by")
+    if sort_by is not None and eff_sort != sort_by:
+        raise ValueError(
+            f"out_dir was planned with sort_by={eff_sort!r}; resume adopts "
+            f"it — re-encode into a fresh out_dir for sort_by={sort_by!r}"
+        )
+    if eff_sort:
+        _kinds = dict(schema)
+        for sc in eff_sort:
+            if sc not in _kinds or _kinds[sc].startswith(
+                ("list", "struct", "map")
+            ):
+                raise ValueError(
+                    f"sort_by column {sc!r} must be a scalar store column; "
+                    f"schema: {schema}"
+                )
     if mode == "rowgroup":
         if df is not None:
             raise ValueError(
@@ -1643,7 +1683,8 @@ def encode(
 
     if mode == "rowgroup":
         encoded = rowgroup_work_df(spark, plan["parts"], pending).mapInArrow(
-            make_rowgroup_encoder(chunk_bytes, fs, selection, schema), OUT_DDL
+            make_rowgroup_encoder(chunk_bytes, fs, selection, schema,
+                                  sort_by=eff_sort), OUT_DDL
         )
     else:
         pending_set = set(pending) if (done or limit_parts is not None) else None
@@ -1660,10 +1701,13 @@ def encode(
             work = apply_plan(df, plan)
             if pending_set is not None:
                 work = work.where(F.col("part_id").isin(pending))
-        encoded = (
-            work.repartition(len(pending), "part_id")
-            .mapInArrow(make_encoder(chunk_bytes, selection), OUT_DDL)
-        )
+        work = work.repartition(len(pending), "part_id")
+        if eff_sort:
+            # part_id leads the sort so each part's rows stay contiguous for
+            # the per-part chunk splitter; zone-map clustering happens on
+            # the trailing keys — still zero extra shuffles
+            work = work.sortWithinPartitions("part_id", *eff_sort)
+        encoded = work.mapInArrow(make_encoder(chunk_bytes, selection), OUT_DDL)
     chunks_dir = os.path.join(out_dir, "chunks")
     _write_chunks(encoded, chunks_dir)
 
@@ -1691,6 +1735,7 @@ def encode(
         "scan": mode if mode == "rowgroup" else (
             "arrow-salted" if scan_files else "jvm"),
         "selection": selection,
+        **({"sort_by": eff_sort} if eff_sort else {}),
         "wall_sec": wall,
     }
     if degraded_reason and mode != "rowgroup":
