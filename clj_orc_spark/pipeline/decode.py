@@ -840,6 +840,7 @@ def decode(spark, out_dir: str, part_ids: list[int] | None = None,
             chunks = chunks.where(F.col("part_id").isin(list(part_ids)))
 
         def decode_group(tbl: pa.Table) -> pa.Table:
+            pafs.clamp_arrow_threads()
             return decode_chunk_table(tbl, columns, schema)
 
         return exact_filter(
@@ -961,6 +962,7 @@ def make_files_decoder(columns, schema, needed_cols, prune_cols: bool,
 
         import pyarrow.parquet as pq
 
+        pafs.clamp_arrow_threads()
         pool = ThreadPoolExecutor(max_workers=1) if prefetch else _Inline()
         try:
             for batch in batches:

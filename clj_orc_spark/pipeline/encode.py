@@ -722,6 +722,7 @@ def make_encoder(chunk_bytes: int = DEFAULT_CHUNK_BYTES,
     """
 
     def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pafs.clamp_arrow_threads()
         bufs: dict[int, list[pa.RecordBatch]] = {}
         buf_bytes: dict[int, int] = {}
         seqs: dict[int, int] = {}
@@ -1079,6 +1080,7 @@ def make_rowgroup_encoder(chunk_bytes: int, fs=None, policy: str = "size",
     their own scheme.  A unit's ``hi=-1`` means "the whole row group"
     (manifest-planned units don't know footer row counts)."""
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pafs.clamp_arrow_threads()
         for batch in batches:
             for pid, units_json in zip(
                 batch.column(0).to_pylist(), batch.column(1).to_pylist()
@@ -1201,6 +1203,7 @@ def make_arrow_scanner(plan: dict, pending: set[int] | None, fs=None):
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..operators.dedup import fnv1a_slices
 
+        pafs.clamp_arrow_threads()
         for batch in batches:
             for units_json in batch.column(1).to_pylist():
                 for path, rg in json.loads(units_json):

@@ -92,6 +92,7 @@ def stream_decode(
     Output is partitioned by ``_batch_id`` and each batch overwrites its own
     partition, so foreachBatch's at-least-once replays are idempotent.
     """
+    from ..pipeline import pafs
     from ..pipeline.decode import (
         _physical_map,
         _select_ddl,
@@ -142,6 +143,7 @@ def stream_decode(
             # file list unavailable (non-file source): shuffle fallback
 
             def decode_group(tbl: pa.Table) -> pa.Table:
+                pafs.clamp_arrow_threads()
                 return decode_chunk_table(tbl, None, schema)
 
             decoded = batch_df.groupBy("chunk_id").applyInArrow(

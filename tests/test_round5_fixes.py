@@ -146,3 +146,53 @@ def test_files_decoder_serial_matches_prefetch(spark, token_table_dir,
     b = run(False)
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
     assert a.count() == spark.read.parquet(src).count()
+
+
+def test_arrow_thread_clamp_reaches_workers(spark):
+    """pafs.clamp_arrow_threads must take effect inside executor-side Arrow
+    tasks: every Python worker's pyarrow CPU pool defaults to
+    os.cpu_count(), so at local[N] the N workers would otherwise contend
+    with N*cpu_count Arrow threads (and a local[8] run would silently use
+    the whole 32-thread box, polluting the N-vs-4N scaling comparison)."""
+
+    def probe(batches):
+        import pyarrow as pa
+
+        from clj_orc_spark.pipeline import pafs
+
+        pafs.clamp_arrow_threads()
+        for batch in batches:
+            n = batch.num_rows
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([int(pa.cpu_count())] * n, type=pa.int32())],
+                names=["arrow_cpu"],
+            )
+
+    got = (
+        spark.range(8).repartition(4).mapInArrow(probe, "arrow_cpu int")
+        .agg(F.min("arrow_cpu"), F.max("arrow_cpu")).collect()[0]
+    )
+    assert (got[0], got[1]) == (1, 1)
+
+
+def test_arrow_thread_clamp_opt_out(monkeypatch):
+    """SPARK_GRAFT_ARROW_CPU=0 leaves pyarrow's pools untouched (a fat
+    executor with many cores per Python worker wants the defaults back)."""
+    import pyarrow as pa
+
+    from clj_orc_spark.pipeline import pafs
+
+    before_cpu = pa.cpu_count()
+    before_io = pa.io_thread_count()
+    try:
+        monkeypatch.setenv("SPARK_GRAFT_ARROW_CPU", "0")
+        pafs.clamp_arrow_threads()
+        assert pa.cpu_count() == before_cpu
+        assert pa.io_thread_count() == before_io
+        monkeypatch.setenv("SPARK_GRAFT_ARROW_CPU", "3")
+        pafs.clamp_arrow_threads()
+        assert pa.cpu_count() == 3
+        assert pa.io_thread_count() == 3
+    finally:
+        pa.set_cpu_count(before_cpu)
+        pa.set_io_thread_count(before_io)
