@@ -1078,6 +1078,55 @@ def _q_roundtrip_struct_pruned(spark, sf):
     )
 
 
+def _q_roundtrip_struct_nested(spark, sf):
+    """RECURSIVE struct shredding under the oracle (round 5): a 3-level
+    nested struct (nullable at EVERY level) goes through encode → decode
+    with a range predicate on the deepest leaf (``meta.q.flags.nw`` — the
+    leaf's own zone maps prune manifest-side, the exact filter applies
+    WHERE semantics through every ancestor's validity), and aggregates
+    over leaves at every depth must equal DuckDB computing the same values
+    from flat scalar expressions."""
+    import shutil
+
+    from clj_orc_spark.pipeline import decode, encode
+
+    inner = "struct<score:double,flags:struct<long_doc:boolean,nw:int>>"
+    src_df = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "CAST(doc_id AS string) AS doc_id",
+        "CASE WHEN n_chars % 13 = 0 THEN"
+        f" CAST(NULL AS struct<lang:string,q:{inner}>)"
+        " ELSE named_struct("
+        "   'lang', nullif(lang, 'en'),"
+        "   'q', CASE WHEN n_chars % 7 = 0 THEN"
+        f"     CAST(NULL AS {inner})"
+        "    ELSE named_struct("
+        "      'score', CAST(n_chars AS double) * 0.5,"
+        "      'flags', CASE WHEN n_chars % 5 = 0 THEN"
+        "        CAST(NULL AS struct<long_doc:boolean,nw:int>)"
+        "       ELSE named_struct("
+        "         'long_doc', n_chars > 500,"
+        "         'nw', CAST(n_chars % 100 AS int)) END) END) END AS meta",
+        "source",
+    )
+    base = (f"/tmp/clj-orc-roundtrip-structn-"
+            f"{os.path.basename(os.path.normpath(sf))}-"
+            f"{spark.sparkContext.applicationId}")
+    src, out = base + "-src", base + "-store"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    src_df.write.parquet(src)
+    encode(spark, src, out, n_partitions=4, resume=False)
+    dec = decode(spark, out, ranges={"meta.q.flags.nw": (40, None)})
+    return dec.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("meta.lang").alias("n_lang"),
+        F.count("meta.q").alias("n_q"),
+        F.sum(F.col("meta.q.flags.nw").cast("long")).alias("nw_sum"),
+        F.sum(F.col("meta.q.flags.long_doc").cast("long")).alias("n_long"),
+        F.sum("meta.q.score").alias("score_sum"),
+    )
+
+
 def _q_roundtrip_temporal(spark, sf):
     """TEMPORAL engine round-trip under the oracle (round 5): the events
     table's timestamp column goes through encode → decode WITH a time-range
@@ -1247,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_boolbin": _shipped(_q_roundtrip_boolbin),
         "roundtrip_struct": _shipped(_q_roundtrip_struct),
         "roundtrip_struct_pruned": _shipped(_q_roundtrip_struct_pruned),
+        "roundtrip_struct_nested": _shipped(_q_roundtrip_struct_nested),
         "roundtrip_temporal": _shipped(_q_roundtrip_temporal),
         "roundtrip_map": _shipped(_q_roundtrip_map),
         "multimodal_features": _shipped(_q_multimodal_features),
@@ -1498,6 +1548,31 @@ def oracle_sql() -> dict[str, str]:
             "  source FROM documents)"
             " SELECT source, count(*) AS n_rows, count(lang_v) AS n_lang,"
             "  CAST(sum(nw_v) AS BIGINT) AS nw_sum,"
+            "  sum(score_v) AS score_sum"
+            " FROM t WHERE nw_v >= 40 GROUP BY source"
+        ),
+        # roundtrip_struct_nested: the 3-level nested struct (nullable at
+        # every level) under a deepest-leaf WHERE — flat scalar CASE
+        # expressions replicate each level's validity conjunction.
+        "roundtrip_struct_nested": (
+            "WITH t AS (SELECT"
+            "  CASE WHEN n_chars % 13 = 0 THEN NULL"
+            "   ELSE nullif(lang, 'en') END AS lang_v,"
+            "  CASE WHEN n_chars % 13 = 0 OR n_chars % 7 = 0 THEN NULL"
+            "   ELSE 1 END AS q_pres,"
+            "  CASE WHEN n_chars % 13 = 0 OR n_chars % 7 = 0 THEN NULL"
+            "   ELSE CAST(n_chars AS DOUBLE) * 0.5 END AS score_v,"
+            "  CASE WHEN n_chars % 13 = 0 OR n_chars % 7 = 0"
+            "    OR n_chars % 5 = 0 THEN NULL"
+            "   ELSE CAST(n_chars > 500 AS INT) END AS long_v,"
+            "  CASE WHEN n_chars % 13 = 0 OR n_chars % 7 = 0"
+            "    OR n_chars % 5 = 0 THEN NULL"
+            "   ELSE CAST(n_chars % 100 AS INT) END AS nw_v,"
+            "  source FROM documents)"
+            " SELECT source, count(*) AS n_rows, count(lang_v) AS n_lang,"
+            "  count(q_pres) AS n_q,"
+            "  CAST(sum(nw_v) AS BIGINT) AS nw_sum,"
+            "  CAST(sum(long_v) AS BIGINT) AS n_long,"
             "  sum(score_v) AS score_sum"
             " FROM t WHERE nw_v >= 40 GROUP BY source"
         ),

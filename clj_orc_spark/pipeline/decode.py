@@ -86,15 +86,28 @@ def _pred_target(key: str, kinds: dict) -> tuple[str, str] | None:
         kind = kinds[key]
         phys = list_payload_names(key)[0] if kind.startswith("list") else key
         return kind, phys
-    col, dot, fld = key.partition(".")
+    col, dot, rest = key.partition(".")
     if dot and col in kinds and kinds[col].startswith("struct"):
-        fks = dict(struct_fields(kinds[col]))
-        if fld not in fks:
+        kind, phys = kinds[col], col
+        for fld in rest.split("."):
+            if not kind.startswith("struct"):
+                raise ValueError(
+                    f"predicate key {key!r}: {phys.replace('__', '.')!r} "
+                    f"is a scalar field, not a struct"
+                )
+            fks = dict(struct_fields(kind))
+            if fld not in fks:
+                raise ValueError(
+                    f"struct column {phys.replace('__', '.')!r} has no "
+                    f"field {fld!r}; fields: {sorted(fks)}"
+                )
+            kind, phys = fks[fld], f"{phys}__{fld}"
+        if kind.startswith("struct"):
             raise ValueError(
-                f"struct column {col!r} has no field {fld!r}; "
-                f"fields: {sorted(fks)}"
+                f"predicate key {key!r} targets a struct; predicates take "
+                f"a scalar leaf field (e.g. {key}.<field>)"
             )
-        return fks[fld], f"{col}__{fld}"
+        return kind, phys
     return None
 
 
@@ -130,8 +143,8 @@ def _zone_cast(kind: str) -> str:
 
 def _ddl_type(kind: str) -> str:
     if kind.startswith("struct"):
-        inner = ", ".join(
-            f"{f}: {_DDL_TYPE[k]}" for f, k in struct_fields(kind)
+        inner = ", ".join(  # _ddl_type recursion: nested struct fields
+            f"{f}: {_ddl_type(k)}" for f, k in struct_fields(kind)
         )
         return f"struct<{inner}>"
     if kind.startswith("map"):
@@ -242,6 +255,31 @@ def decode_chunk_table(tbl: pa.Table, columns: list[str] | None = None,
             )
         return arr
 
+    def _struct_arr(prefix: str, kind: str) -> pa.Array:
+        """Shredded struct reassembly, recursive: scalar leaves from their
+        own payloads (each with its own validity), nested struct fields
+        from a recursive call, struct-level validity from this level's 0/1
+        present column."""
+        pres = cols[f"{prefix}__present"].astype(np.bool_, copy=False)
+        n_s = len(pres)
+        children, fields = [], []
+        for fname, fkind in struct_fields(kind):
+            child = (
+                _struct_arr(f"{prefix}__{fname}", fkind)
+                if fkind.startswith("struct")
+                else _scalar_arr(f"{prefix}__{fname}", fkind)
+            )
+            children.append(child)
+            fields.append(pa.field(fname, child.type))
+        pbuf = (
+            None if bool(pres.all()) else pa.py_buffer(
+                np.packbits(pres, bitorder="little").tobytes()
+            )
+        )
+        return pa.Array.from_buffers(
+            pa.struct(fields), n_s, [pbuf], children=children
+        )
+
     out = {}
     for c in wanted:
         kind = kinds[c]
@@ -304,24 +342,7 @@ def decode_chunk_table(tbl: pa.Table, columns: list[str] | None = None,
                     pa.array(flat, type=_LIST_VALUE_TYPE[kind]()),
                 )
         elif kind.startswith("struct"):
-            # shredded struct reassembly: children from their own payloads
-            # (each with its own validity), struct-level validity from the
-            # 0/1 present column
-            pres = cols[f"{c}__present"].astype(np.bool_, copy=False)
-            n_s = len(pres)
-            children, fields = [], []
-            for fname, fkind in struct_fields(kind):
-                child = _scalar_arr(f"{c}__{fname}", fkind)
-                children.append(child)
-                fields.append(pa.field(fname, child.type))
-            pbuf = (
-                None if bool(pres.all()) else pa.py_buffer(
-                    np.packbits(pres, bitorder="little").tobytes()
-                )
-            )
-            out[c] = pa.Array.from_buffers(
-                pa.struct(fields), n_s, [pbuf], children=children
-            )
+            out[c] = _struct_arr(c, kind)
         elif kind.startswith("map"):
             # shredded map reassembly: keys/values children + offsets
             # index; map-level validity from the offsets payload bitmap

@@ -172,21 +172,41 @@ def list_payload_names(name: str) -> tuple[str, str]:
 def struct_fields(kind: str) -> list[tuple[str, str]]:
     """Parse a ``struct<f1:k1,f2:k2>`` kind string → [(field, kind), ...].
 
-    One level of struct shredding (round 5): the engine analog of the
+    Recursive struct shredding (round 5): the engine analog of the
     reference's recursive struct decode (`src/orc/col.clj:83-92`) — each
-    scalar field becomes its own payload column, so field access at decode
-    is a column prune, not a row pivot."""
+    scalar leaf becomes its own payload column, so field access at decode
+    is a column prune, not a row pivot.  A field kind may itself be a
+    ``struct<...>``, so the split is bracket-aware: commas inside a nested
+    kind don't separate fields."""
     inner = kind[len("struct<"):-1]
-    return [tuple(p.split(":", 1)) for p in inner.split(",") if p]
+    parts: list[str] = []
+    depth = start = 0
+    for i, ch in enumerate(inner):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(inner[start:i])
+            start = i + 1
+    parts.append(inner[start:])
+    return [tuple(p.split(":", 1)) for p in parts if p]
 
 
 def struct_payload_names(name: str, kind: str) -> tuple[str, ...]:
     """Physical payload columns backing a struct column: one ``name__field``
-    per shredded field plus ``name__present`` (struct-level validity as a
-    0/1 column — RLE crushes it to a few bytes on mostly-valid data)."""
-    return tuple(f"{name}__{f}" for f, _ in struct_fields(kind)) + (
-        f"{name}__present",
-    )
+    per shredded scalar leaf plus ``name__present`` (struct-level validity
+    as a 0/1 column — RLE crushes it to a few bytes on mostly-valid data).
+    Nested struct fields recurse with a ``parent__child`` prefix and carry
+    their OWN present column, so ``s = null`` / ``s.b = null`` /
+    ``s.b = {c: null}`` stay distinguishable after the round trip."""
+    out: list[str] = []
+    for f, fk in struct_fields(kind):
+        if fk.startswith("struct"):
+            out.extend(struct_payload_names(f"{name}__{f}", fk))
+        else:
+            out.append(f"{name}__{f}")
+    return tuple(out) + (f"{name}__present",)
 
 
 def map_kinds(kind: str) -> tuple[str, str]:
@@ -219,6 +239,35 @@ def physical_cols(schema) -> tuple[str, ...]:
         else:
             out.append(name)
     return tuple(out)
+
+
+def _struct_kind(t, path: str, scalar_kind) -> str:
+    """Kind string for a struct type, recursing into nested struct fields
+    (any depth — the engine analog of the reference's recursive struct
+    decode, `src/orc/col.clj:83-92`).  Plan-time throw on unsupported leaf
+    types; field names may not contain the kind-string delimiters."""
+    fks = []
+    for i in range(t.num_fields):
+        f = t.field(i)
+        fk = scalar_kind(f.type)
+        if fk is None and pa.types.is_struct(f.type):
+            fk = _struct_kind(f.type, f"{path}.{f.name}", scalar_kind)
+        if fk is None:
+            raise ValueError(
+                f"unsupported struct field type {f.type} for "
+                f"{path}.{f.name}: struct shredding takes scalar fields "
+                "(str/int/float/bool/binary/temporal) or nested structs "
+                "of them"
+            )
+        if any(ch in f.name for ch in ":,<>"):
+            raise ValueError(
+                f"struct field name {f.name!r} may not contain "
+                "':', ',', '<' or '>' (kind-string delimiters)"
+            )
+        fks.append(f"{f.name}:{fk}")
+    if not fks:
+        raise ValueError(f"cannot encode empty struct column {path!r}")
+    return f"struct<{','.join(fks)}>"
 
 
 def derive_schema(arrow_schema) -> list[tuple[str, str]]:
@@ -266,28 +315,7 @@ def derive_schema(arrow_schema) -> list[tuple[str, str]]:
         if sk is not None:
             out.append((field.name, sk))
         elif _pa.types.is_struct(t):
-            fks = []
-            for i in range(t.num_fields):
-                f = t.field(i)
-                fk = scalar_kind(f.type)
-                if fk is None:
-                    raise ValueError(
-                        f"unsupported struct field type {f.type} for "
-                        f"{field.name}.{f.name}: struct shredding takes one "
-                        "level of scalar fields (str/int/float/bool/"
-                        "binary/temporal)"
-                    )
-                if ":" in f.name or "," in f.name:
-                    raise ValueError(
-                        f"struct field name {f.name!r} may not contain "
-                        "':' or ',' (kind-string delimiters)"
-                    )
-                fks.append(f"{f.name}:{fk}")
-            if not fks:
-                raise ValueError(
-                    f"cannot encode empty struct column {field.name!r}"
-                )
-            out.append((field.name, f"struct<{','.join(fks)}>"))
+            out.append((field.name, _struct_kind(t, field.name, scalar_kind)))
         elif _pa.types.is_map(t):
             kk = scalar_kind(t.key_type)
             vk = scalar_kind(t.item_type)
@@ -371,6 +399,51 @@ def _scalar_payload(arr: pa.Array, kind: str):
         else {"min": None, "max": None}
     )
     return a.view(_FLOAT_U[kind]), "float", a.nbytes, valid, mmv
+
+
+def _shred_struct(name: str, kind: str, col_s: pa.Array,
+                  pvalid: "np.ndarray | None", n: int,
+                  columns: dict, valids: dict, mm: dict) -> None:
+    """Shred one (possibly nested) struct column into flat scalar payloads.
+
+    Emits ``name__present`` (0/1 struct-level validity, RLE-friendly) plus
+    one payload per field; nested struct fields recurse under a
+    ``name__field`` prefix with their OWN present column, so after the
+    round trip ``s = null``, ``s.b = null`` and ``s.b = {c: null}`` stay
+    distinguishable.  ``pvalid`` is the conjunction of every ancestor's
+    validity (None = all valid); masking is cumulative, so a leaf under a
+    null ancestor stores null and payload bytes stay deterministic."""
+    pres = (
+        pvalid if pvalid is not None else np.ones(n, dtype=bool)
+    ).astype(np.int32)
+    pres_name = f"{name}__present"
+    columns[pres_name] = (pres, "int", pres.nbytes)
+    valids[pres_name] = None
+    mm[pres_name] = {
+        "min": int(pres.min()) if n else None,
+        "max": int(pres.max()) if n else None,
+    }
+    for fi, (fname, fkind) in enumerate(struct_fields(kind)):
+        child = pc.struct_field(col_s, fi)
+        p_name = f"{name}__{fname}"
+        v = np.asarray(child.is_valid())
+        if pvalid is not None:
+            v &= pvalid
+        all_valid = bool(v.all()) if n else True
+        masked = child if all_valid else pc.if_else(
+            pa.array(v), child, pa.scalar(None, child.type)
+        )
+        if fkind.startswith("struct"):
+            _shred_struct(p_name, fkind, masked,
+                          None if all_valid else v, n, columns, valids, mm)
+            continue
+        if fkind in TEMPORAL_STORAGE:  # same reinterpret as top-level
+            masked = _temporal_to_storage(masked, fkind)
+            fkind = TEMPORAL_STORAGE[fkind]
+        obj, ktag, raw, v_, mmv = _scalar_payload(masked, fkind)
+        columns[p_name] = (obj, ktag, raw)
+        valids[p_name] = v_
+        mm[p_name] = mmv
 
 
 def _map_as_list(col_m: pa.Array) -> pa.Array:
@@ -478,72 +551,15 @@ def _encode_chunk_rows(tbl: pa.Table, part_id: int, seq: int,
                 # conservatively kept by the pruner
                 mm[name] = {"min": None, "max": None}
         elif kind.startswith("struct"):
-            # STRUCT SHREDDING (round 5): one payload column per scalar
-            # field + a 0/1 present column for struct-level validity.
-            # Field validity stored per child = child-valid AND parent-valid
-            # (a value under a null parent is not observable data — and its
-            # Arrow buffer bytes are unspecified, so zero them for
-            # deterministic payloads).
+            # STRUCT SHREDDING (round 5, recursive): one payload column per
+            # scalar leaf + a 0/1 present column per struct LEVEL.  Leaf
+            # validity stored per child = child-valid AND every-ancestor-
+            # valid (a value under a null ancestor is not observable data —
+            # and its Arrow buffer bytes are unspecified, so null-mask it
+            # for deterministic payloads).
             col_s = tbl.column(name).combine_chunks()
             pvalid = np.asarray(col_s.is_valid()) if nulls else None
-            pres = (
-                pvalid if pvalid is not None else np.ones(n, dtype=bool)
-            ).astype(np.int32)
-            pres_name = f"{name}__present"
-            columns[pres_name] = (pres, "int", pres.nbytes)
-            valids[pres_name] = None
-            mm[pres_name] = {
-                "min": int(pres.min()) if n else None,
-                "max": int(pres.max()) if n else None,
-            }
-            for fi, (fname, fkind) in enumerate(struct_fields(kind)):
-                child = pc.struct_field(col_s, fi)
-                if fkind in TEMPORAL_STORAGE:  # same reinterpret as top-level
-                    child = _temporal_to_storage(child, fkind)
-                    fkind = TEMPORAL_STORAGE[fkind]
-                p_name = f"{name}__{fname}"
-                v = np.asarray(child.is_valid())
-                if pvalid is not None:
-                    v &= pvalid
-                all_valid = bool(v.all()) if n else True
-                masked = child if all_valid else pc.if_else(
-                    pa.array(v), child, pa.scalar(None, child.type)
-                )
-                valids[p_name] = None if all_valid else v
-                if fkind == "binary":
-                    columns[p_name] = (
-                        StringCol.from_arrow(pc.fill_null(masked, b"")),
-                        "str", 0,
-                    )
-                    mm[p_name] = {"min": None, "max": None}
-                    continue
-                lohi = pc.min_max(masked)  # skips nulls
-                f_mn, f_mx = lohi["min"].as_py(), lohi["max"].as_py()
-                if fkind == "str":
-                    columns[p_name] = (
-                        StringCol.from_arrow(pc.fill_null(masked, "")),
-                        "str", 0,
-                    )
-                    mm[p_name] = {"min": f_mn, "max": f_mx}
-                elif fkind in ("int32", "int64"):
-                    arr = np.asarray(
-                        pc.fill_null(masked, 0), dtype=_KIND_NP[fkind]
-                    )
-                    columns[p_name] = (arr, "int", arr.nbytes)
-                    mm[p_name] = {"min": f_mn, "max": f_mx}
-                else:  # float32 / float64
-                    arr = np.asarray(
-                        pc.fill_null(masked, 0.0), dtype=_KIND_NP[fkind]
-                    )
-                    fin = arr if all_valid else arr[v]
-                    columns[p_name] = (
-                        arr.view(_FLOAT_U[fkind]), "float", arr.nbytes
-                    )
-                    if len(fin) and bool(np.isfinite(fin).all()):
-                        mm[p_name] = {"min": float(fin.min()),
-                                      "max": float(fin.max())}
-                    else:
-                        mm[p_name] = {"min": None, "max": None}
+            _shred_struct(name, kind, col_s, pvalid, n, columns, valids, mm)
         elif kind.startswith("map"):
             # MAP SHREDDING (round 5): flat keys + flat values + offsets —
             # Arrow's own map layout, chunk-vectorized (the reference walks
@@ -1040,19 +1056,22 @@ def _row_weight_csum(tbl: pa.Table, schema) -> np.ndarray:
             ) + 8
             w = slens if w is None else w + slens
         elif kind.startswith("struct"):
-            scalar_bytes += 1  # the 0/1 present column
-            col_s = tbl.column(name).combine_chunks()
-            for fi, (_fname, fkind) in enumerate(struct_fields(kind)):
-                if fkind in ("str", "binary"):
-                    slens = np.asarray(
-                        pc.fill_null(
-                            pc.binary_length(pc.struct_field(col_s, fi)), 0
-                        ),
-                        dtype=np.int64,
-                    ) + 8
-                    w = slens if w is None else w + slens
-                else:
-                    scalar_bytes += _KIND_NP[fkind]().itemsize
+            def _walk(col_s, skind):
+                nonlocal w, scalar_bytes
+                scalar_bytes += 1  # the 0/1 present column (per level)
+                for fi, (_fname, fkind) in enumerate(struct_fields(skind)):
+                    child = pc.struct_field(col_s, fi)
+                    if fkind.startswith("struct"):
+                        _walk(child, fkind)
+                    elif fkind in ("str", "binary"):
+                        slens = np.asarray(
+                            pc.fill_null(pc.binary_length(child), 0),
+                            dtype=np.int64,
+                        ) + 8
+                        w = slens if w is None else w + slens
+                    else:
+                        scalar_bytes += _KIND_NP[fkind]().itemsize
+            _walk(tbl.column(name).combine_chunks(), kind)
         else:
             scalar_bytes += _KIND_NP[kind]().itemsize
     if w is None:

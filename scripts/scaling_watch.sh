@@ -20,7 +20,7 @@ while true; do
     LA=$(cut -d' ' -f1 /proc/loadavg)
     if awk "BEGIN{exit !($LA < $GATE)}"; then
         TS=$(date +%s)
-        python scripts/scaling_bench.py --rows 2000000 --levels 8,32 --reps 3 \
+        python scripts/scaling_bench.py --rows 2000000 --levels 2,8,32 --reps 2 \
             > "/tmp/scaling_runs/run_${TS}.log" 2>&1
         cp BENCH_scaling.md "/tmp/scaling_runs/run_${TS}.md" 2>/dev/null
         sleep 120

@@ -1,7 +1,8 @@
-"""Round-5: one-level struct shredding through the engine store.
+"""Round-5: struct shredding through the engine store (one-level cases;
+see test_struct_nested.py for arbitrary depth).
 
 The reference decodes structs recursively per row (`src/orc/col.clj:83-92`);
-the engine shreds one level of scalar fields into their own payload columns
+the engine shreds scalar fields into their own payload columns
 (``name__field`` + a ``name__present`` 0/1 validity column, RLE-crushed) so
 field access at decode is a column-pruned kernel run, not a row pivot.
 """
