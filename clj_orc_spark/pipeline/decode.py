@@ -88,20 +88,21 @@ def _pred_target(key: str, kinds: dict) -> tuple[str, str] | None:
         return kind, phys
     col, dot, rest = key.partition(".")
     if dot and col in kinds and kinds[col].startswith("struct"):
-        kind, phys = kinds[col], col
+        kind, phys, lpath = kinds[col], col, col
         for fld in rest.split("."):
             if not kind.startswith("struct"):
                 raise ValueError(
-                    f"predicate key {key!r}: {phys.replace('__', '.')!r} "
+                    f"predicate key {key!r}: {lpath!r} "
                     f"is a scalar field, not a struct"
                 )
             fks = dict(struct_fields(kind))
             if fld not in fks:
                 raise ValueError(
-                    f"struct column {phys.replace('__', '.')!r} has no "
+                    f"struct column {lpath!r} has no "
                     f"field {fld!r}; fields: {sorted(fks)}"
                 )
             kind, phys = fks[fld], f"{phys}__{fld}"
+            lpath = f"{lpath}.{fld}"
         if kind.startswith("struct"):
             raise ValueError(
                 f"predicate key {key!r} targets a struct; predicates take "

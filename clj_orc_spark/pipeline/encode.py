@@ -259,10 +259,11 @@ def _struct_kind(t, path: str, scalar_kind) -> str:
                 "(str/int/float/bool/binary/temporal) or nested structs "
                 "of them"
             )
-        if any(ch in f.name for ch in ":,<>"):
+        if any(ch in f.name for ch in ":,<>."):
             raise ValueError(
                 f"struct field name {f.name!r} may not contain "
-                "':', ',', '<' or '>' (kind-string delimiters)"
+                "':', ',', '<', '>' (kind-string delimiters) or "
+                "'.' (the predicate/DDL field-path separator)"
             )
         fks.append(f"{f.name}:{fk}")
     if not fks:
@@ -434,7 +435,10 @@ def _shred_struct(name: str, kind: str, col_s: pa.Array,
             pa.array(v), child, pa.scalar(None, child.type)
         )
         if fkind.startswith("struct"):
-            _shred_struct(p_name, fkind, masked,
+            # no if_else copy here: the recursion masks every LEAF with the
+            # same conjunct validity, so materializing a masked copy of the
+            # whole subtree per level would only burn memory bandwidth
+            _shred_struct(p_name, fkind, child,
                           None if all_valid else v, n, columns, valids, mm)
             continue
         if fkind in TEMPORAL_STORAGE:  # same reinterpret as top-level

@@ -159,7 +159,9 @@ def main() -> None:
     def median_run(cores: int) -> dict:
         rs = sorted((r for r in runs if r["cores"] == cores),
                     key=lambda r: r["tokens_per_sec"])
-        return rs[len(rs) // 2]
+        # even rep counts take the LOWER middle (conservative): len//2 on
+        # 2 reps would report the FASTER rep while claiming "median"
+        return rs[(len(rs) - 1) // 2]
 
     med = {c: median_run(c) for c in levels}
     effs = {
@@ -169,7 +171,7 @@ def main() -> None:
         for a, b in pairs
     }
     ctl_med = {
-        c: sorted(ctl[c] for ctl in controls)[len(controls) // 2]
+        c: sorted(ctl[c] for ctl in controls)[(len(controls) - 1) // 2]
         for c in levels
     }
     ctl_effs = {

@@ -118,6 +118,12 @@ def test_nested_schema_derivation():
         derive_schema(pa.schema([pa.field("s", pa.struct([
             pa.field("b", pa.struct([pa.field("xs", pa.list_(pa.int32()))]))
         ]))]))
+    # '.' in a field name would make the store undecodable (it is the
+    # select-DDL and predicate-path separator) — rejected at plan time
+    with pytest.raises(ValueError, match="field-path separator"):
+        derive_schema(pa.schema([pa.field("s", pa.struct(
+            [pa.field("a.b", pa.int32())]
+        ))]))
 
 
 def test_nested_roundtrip_exact(spark, store):
