@@ -61,7 +61,7 @@ _NARROW_IDX_MAX = 1 << 31
 
 
 def ranked_value_counts(
-    a64: np.ndarray,
+    arr: np.ndarray,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Distinct values ordered by DESCENDING frequency (ties broken by
     value — deterministic) plus each input's rank code.
@@ -74,21 +74,36 @@ def ranked_value_counts(
 
     Narrow value ranges count via ``np.bincount`` + a direct lookup-table
     gather (O(n + range), no sort of n elements, int32 arithmetic when the
-    range allows); wide ranges fall back to ``np.unique``.  Returns
-    ``(ranked_values int64, codes, counts_by_rank)`` — the counts give
-    downstream encoders the exact code distribution for free."""
-    n = len(a64)
-    lo = int(a64.min())
-    rng = int(a64.max()) - lo + 1
+    range allows — a 32-bit input column never widens to int64 at all:
+    wraparound int32 subtraction of ``lo`` is exact whenever the range fits
+    int32, halving the pass's memory traffic); wide ranges fall back to
+    ``np.unique``.  Returns ``(ranked_values int64, codes,
+    counts_by_rank)`` — the counts give downstream encoders the exact code
+    distribution for free."""
+    n = len(arr)
+    if arr.dtype == np.uint64:
+        # same bits, wrap-identical values to the old astype(int64) copy
+        arr = arr.view(np.int64)
+    elif arr.dtype not in (np.int32, np.uint32, np.int64):
+        arr = arr.astype(np.int64, copy=False)
+    lo = int(arr.min())
+    rng = int(arr.max()) - lo + 1
     if 0 < rng <= max(4 * n, 1 << 22):
         # index arithmetic stays int32 only when the RANGE fits int32 —
         # wider ranges (possible with huge chunk_bytes) keep int64
         # throughout, or the lookup scatter would wrap to negative slots
         narrow_idx = rng <= _NARROW_IDX_MAX
         idx_dtype = np.int32 if narrow_idx else np.int64
-        shifted = (
-            (a64 - lo).astype(np.int32) if narrow_idx else a64 - lo
-        )
+        if not narrow_idx:
+            shifted = arr.astype(np.int64, copy=False) - lo
+        elif arr.dtype == np.int32:
+            # wraparound subtract: the true residual fits int32 (rng does),
+            # so mod-2^32 arithmetic is exact — no int64 round trip
+            shifted = arr - np.int32(lo)
+        elif arr.dtype == np.uint32:
+            shifted = (arr - np.uint32(lo)).view(np.int32)
+        else:
+            shifted = (arr - lo).astype(np.int32)
         counts_full = np.bincount(shifted, minlength=rng)
         nz = np.flatnonzero(counts_full)
         vals, counts = nz + lo, counts_full[nz]
@@ -99,6 +114,7 @@ def ranked_value_counts(
             len(ranked), dtype=idx_dtype
         )
         return ranked, lookup[shifted], counts[order]
+    a64 = arr.astype(np.int64, copy=False)
     vals, counts = np.unique(a64, return_counts=True)
     order = np.argsort(-counts, kind="stable")
     rank_of_sorted = np.empty(len(vals), dtype=np.int64)
@@ -117,9 +133,7 @@ class DictInt:
         if n == 0:
             return b"", {"codec": cls.name, "n": 0, "dtype": dtype, "sections": [],
                          "uniques": None, "codes": None}
-        ranked, codes, counts = ranked_value_counts(
-            arr.astype(np.int64, copy=False)
-        )
+        ranked, codes, counts = ranked_value_counts(arr)
         # the dict itself is frequency-ordered (not sorted), so it packs
         # with the best int sub-kernel rather than delta
         up, um = encode_int_sub(ranked)

@@ -231,3 +231,77 @@ def test_dict_str_frequency_ranked():
     up, _ = split_sections(p, m["sections"])
     uniq = PlainStr.decode(up, m["uniques"])
     assert uniq.row(0) == b"zzz-dominant"  # rank 0 = most frequent
+
+
+@pytest.mark.parametrize("width", list(range(0, 33)) + [40, 48, 56, 63, 64])
+def test_pack_bits_block_path_matches_bit_matrix(width):
+    """The uint64-block constant-shift fast path (widths whose k×w bits tile
+    whole bytes, _block_k) must emit byte-identical streams to the generic
+    bit-matrix layout, for every length mod k and both input dtypes."""
+    from clj_orc_spark.kernels.bitpack import _FAST_WIDTH_DTYPE, packed_nbytes
+
+    def reference_pack(values, width):
+        # the pre-fast-path formulation: n×width little-endian bit matrix
+        if width == 0 or len(values) == 0:
+            return b""
+        v = np.ascontiguousarray(values, dtype=np.uint64)
+        le = v.view(np.uint8).reshape(-1, 8)[:, : (width + 7) // 8]
+        bits = np.unpackbits(le, axis=1, bitorder="little")[:, :width]
+        return np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+    for n in (0, 1, 7, 8, 9, 255, 256, 1000):
+        hi = (1 << width) - 1 if width else 0
+        vals = RNG.integers(0, hi + 1, n, dtype=np.uint64)
+        if width and n:
+            vals[0], vals[-1] = 0, hi
+        got = pack_bits(vals, width)
+        assert got == reference_pack(vals, width), (width, n)
+        assert len(got) == packed_nbytes(n, width)
+        assert np.array_equal(unpack_bits(got, width, n), vals)
+        if width <= 32:
+            v32 = vals.astype(np.uint32)
+            assert pack_bits(v32, width) == got, (width, n, "uint32 input")
+            nar = unpack_bits(got, width, n, narrow=True)
+            assert nar.dtype == np.uint32 and np.array_equal(nar, v32)
+
+
+def test_bitlen_hist_matches_frexp_path():
+    """_bitlen_hist's value-bincount path (full <= 16) must produce the
+    exact histogram of the frexp bit-length formulation."""
+    from clj_orc_spark.kernels.bitpack import _bitlen_hist, bit_lengths
+
+    for full, dtype in ((0, np.uint32), (1, np.uint32), (7, np.uint32),
+                        (16, np.uint32), (16, np.uint64), (20, np.uint64)):
+        vals = RNG.integers(0, 1 << full, 4097, dtype=np.uint64)
+        if full:
+            vals[0], vals[-1] = 0, (1 << full) - 1
+        v = vals.astype(dtype)
+        want = np.bincount(bit_lengths(vals), minlength=full + 1)
+        got = _bitlen_hist(v, full)
+        assert np.array_equal(got, want), (full, dtype)
+
+
+def test_patched_for_hi_recursion_native_dtype_roundtrip():
+    """The hi-recursion sub-stream keeps the residuals' native (uint32)
+    dtype instead of an int64 copy; payload bytes and the decoded values
+    must be unchanged (zipfian data forces multi-level hi recursion)."""
+    from clj_orc_spark.kernels.bitpack import PatchedFor
+
+    vals = (RNG.zipf(1.2, 300_000).clip(0, 1 << 15)).astype(np.int32)
+    payload, meta = PatchedFor.encode(vals)
+    assert meta["hi"] is not None, "test data must trigger the hi recursion"
+    assert meta["hi"]["dtype"] == "uint32"
+    out = PatchedFor.decode(payload, meta)
+    assert out.dtype == np.int32 and np.array_equal(out, vals)
+    # legacy stores recorded the hi sub-stream as int64 — decode must keep
+    # accepting that spelling (payload bytes are identical either way)
+    import copy
+
+    legacy = copy.deepcopy(meta)
+    def _as_legacy(m):
+        while m is not None:
+            m["dtype"] = "int64" if m["dtype"] == "uint32" else m["dtype"]
+            m = m.get("hi")
+    _as_legacy(legacy["hi"])
+    out2 = PatchedFor.decode(payload, legacy)
+    assert np.array_equal(out2, vals)
