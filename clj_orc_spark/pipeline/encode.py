@@ -1420,6 +1420,46 @@ def _write_chunks(encoded, chunks_dir: str) -> None:
     )
 
 
+def _manifest_rollup(manifest_dir: str, pending: list[int],
+                     n_phys: int) -> dict | None:
+    """Per-part completion rollup computed from the just-written manifest
+    with pyarrow ON THE DRIVER — the manifest is partition-count-bounded
+    metadata (KBs per part), so a whole Spark aggregation job here is pure
+    scheduling overhead.  Returns ``{part_id: {n_chunks, n_rows, enc_bytes,
+    raw_bytes}}`` matching the Spark aggregation exactly (same double-sum
+    then truncate for n_rows), or None when pyarrow cannot serve the store
+    (the caller falls back to the Spark job)."""
+    try:
+        import pyarrow.dataset as ds
+
+        fs, path = pafs.resolve(manifest_dir)
+        dataset = ds.dataset(path, filesystem=fs, format="parquet",
+                             partitioning="hive")
+        t = dataset.to_table(
+            columns=["part_id", "chunk_id", "n_rows", "enc_bytes",
+                     "raw_bytes"],
+            filter=ds.field("part_id").isin([int(p) for p in pending]),
+        )
+        gb = t.group_by("part_id").aggregate([
+            ("chunk_id", "count_distinct"), ("n_rows", "sum"),
+            ("enc_bytes", "sum"), ("raw_bytes", "sum"),
+        ])
+        out = {}
+        for i in range(gb.num_rows):
+            pid = gb.column("part_id")[i].as_py()
+            out[int(pid)] = {
+                "n_chunks": int(gb.column("chunk_id_count_distinct")[i].as_py()),
+                "n_rows": int(
+                    float(gb.column("n_rows_sum")[i].as_py() or 0) / n_phys
+                ),
+                "enc_bytes": int(gb.column("enc_bytes_sum")[i].as_py() or 0),
+                "raw_bytes": int(gb.column("raw_bytes_sum")[i].as_py() or 0),
+            }
+        return out
+    except Exception:
+        return None
+
+
 def _commit_manifest(spark, out_dir: str, chunks_dir: str,
                      pending: list[int], n_phys: int = len(CHUNK_COLS)) -> None:
     """Manifest commit for a wave of partitions: chunk records (payload
@@ -1445,35 +1485,50 @@ def _commit_manifest(spark, out_dir: str, chunks_dir: str,
     manifest = written.drop("payload").withColumn("file", F.input_file_name())
     manifest_dir = os.path.join(out_dir, "manifest", "chunks")
     _write_per_part(manifest, manifest_dir)
-    parts = (
-        spark.read.parquet(manifest_dir)
-        .where(F.col("part_id").isin(pending))
-        .groupBy("part_id")
-        .agg(
-            F.countDistinct("chunk_id").alias("n_chunks"),
-            (F.sum("n_rows") / F.lit(n_phys)).cast("long").alias("n_rows"),
-            F.sum("enc_bytes").alias("enc_bytes"),
-            F.sum("raw_bytes").alias("raw_bytes"),
-        )
-        .withColumn("status", F.lit("complete"))
-        .withColumn("completed_at", F.lit(time.time()))
-    )
-    # a pending part that produced ZERO chunks (e.g. an empty row group)
-    # still needs its completion marker, or resume re-runs it forever.
+    # ONE aggregation job: collect the per-part rollup (bounded by the
+    # PARTITION count — thousands — never chunk rows) and write the parts
+    # markers from a driver-local frame.  The previous shape ran the same
+    # manifest read + groupBy TWICE (once for the part_id collect, once
+    # re-executed lazily by the write) — a whole redundant Spark job per
+    # encode wave.
     # SCALE GUARD: this is the encode pipeline's only driver-side collect of
-    # job output, and it must stay a single narrow column bounded by the
-    # PARTITION count (thousands), never chunk rows (millions at 100 TB) —
-    # pinned by tests/test_round4_fixes.py::test_commit_manifest_collects_only_part_ids
-    marked = {r["part_id"] for r in parts.select("part_id").collect()}
-    missing = [p for p in pending if p not in marked]
-    if missing:
-        parts = parts.unionByName(
-            spark.createDataFrame(
-                [(p, 0, 0, 0, 0, "complete", time.time()) for p in missing],
-                "part_id int, n_chunks long, n_rows long, enc_bytes long,"
-                " raw_bytes long, status string, completed_at double",
+    # job output, and it must stay bounded by the PARTITION count, never
+    # chunk rows (millions at 100 TB) — pinned by
+    # tests/test_round4_fixes.py::test_commit_manifest_collects_only_part_ids
+    by_pid = _manifest_rollup(manifest_dir, pending, n_phys)
+    if by_pid is None:  # pyarrow cannot serve the store: Spark fallback
+        agg_rows = (
+            spark.read.parquet(manifest_dir)
+            .where(F.col("part_id").isin(pending))
+            .groupBy("part_id")
+            .agg(
+                F.countDistinct("chunk_id").alias("n_chunks"),
+                (F.sum("n_rows") / F.lit(n_phys)).cast("long").alias("n_rows"),
+                F.sum("enc_bytes").alias("enc_bytes"),
+                F.sum("raw_bytes").alias("raw_bytes"),
             )
+            .collect()
         )
+        by_pid = {r["part_id"]: r for r in agg_rows}
+    now = time.time()
+    # a pending part that produced ZERO chunks (e.g. an empty row group)
+    # still needs its completion marker, or resume re-runs it forever
+    rows = []
+    for p in pending:
+        r = by_pid.get(p)
+        rows.append((
+            int(p),
+            int(r["n_chunks"]) if r else 0,
+            int(r["n_rows"] or 0) if r else 0,
+            int(r["enc_bytes"] or 0) if r else 0,
+            int(r["raw_bytes"] or 0) if r else 0,
+            "complete", now,
+        ))
+    parts = spark.createDataFrame(
+        rows,
+        "part_id int, n_chunks long, n_rows long, enc_bytes long,"
+        " raw_bytes long, status string, completed_at double",
+    )
     _write_per_part(parts, os.path.join(out_dir, "manifest", "parts"))
 
 

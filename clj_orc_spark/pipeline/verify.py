@@ -28,15 +28,28 @@ def verify_digest(source: DataFrame, decoded: DataFrame) -> dict:
     the scale path.
     """
 
-    def digest(df: DataFrame):
+    def hashed(df: DataFrame, side: int):
         h = F.xxhash64("doc_id", "tokens", "n_tok", "source")
-        return df.select(h.alias("h")).agg(
+        return df.select(h.alias("h"), F.lit(side).alias("side"))
+
+    # ONE job for both digests: the two legs are independent scans, so a
+    # union lets the scheduler run their tasks concurrently — the source
+    # parquet scan back-fills cores freed by the decode leg's stragglers
+    # (guide §2.6) instead of running serially after it.  The final
+    # groupBy("side") exchanges 2 tiny partial rows per task, nothing more.
+    rows = (
+        hashed(source, 0).unionByName(hashed(decoded, 1))
+        .groupBy("side")
+        .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.expr("bit_xor(h)").alias("hxor"),
             F.sum(F.col("h").cast("decimal(38,0)")).alias("hsum"),
-        ).collect()[0]
-
-    s, d = digest(source), digest(decoded)
+        )
+        .collect()
+    )
+    empty = {"cnt": 0, "hxor": None, "hsum": None}
+    by_side = {r["side"]: r for r in rows}
+    s, d = by_side.get(0, empty), by_side.get(1, empty)
     report = {
         "total": int(s["cnt"]),
         "decoded_total": int(d["cnt"]),
