@@ -431,9 +431,6 @@ def _shred_struct(name: str, kind: str, col_s: pa.Array,
         if pvalid is not None:
             v &= pvalid
         all_valid = bool(v.all()) if n else True
-        masked = child if all_valid else pc.if_else(
-            pa.array(v), child, pa.scalar(None, child.type)
-        )
         if fkind.startswith("struct"):
             # no if_else copy here: the recursion masks every LEAF with the
             # same conjunct validity, so materializing a masked copy of the
@@ -441,6 +438,12 @@ def _shred_struct(name: str, kind: str, col_s: pa.Array,
             _shred_struct(p_name, fkind, child,
                           None if all_valid else v, n, columns, valids, mm)
             continue
+        # scalar leaves only: computing the masked copy above the struct
+        # branch materialized (and discarded) a masked copy of every nested
+        # subtree (round-5 advice)
+        masked = child if all_valid else pc.if_else(
+            pa.array(v), child, pa.scalar(None, child.type)
+        )
         if fkind in TEMPORAL_STORAGE:  # same reinterpret as top-level
             masked = _temporal_to_storage(masked, fkind)
             fkind = TEMPORAL_STORAGE[fkind]

@@ -178,13 +178,33 @@ def main() -> None:
         f"{a}v{b}": round(ctl_med[b] / ((b / a) * ctl_med[a]), 3)
         for a, b in pairs
     }
+    # per-rep PAIRED efficiencies: rep i's N-level run against rep i's
+    # 4N-level run.  A ratio of independently-chosen medians is conservative
+    # for absolute throughput but NOT for the efficiency ratio — one slow
+    # N-level rep shrinks the denominator and can inflate the ratio
+    # (round-5 advice); the median of per-rep pairs can't.
+    effs_paired = {}
+    for a, b in pairs:
+        per_rep = []
+        for rep in sorted({r["rep"] for r in runs}):
+            ra = [r for r in runs if r["cores"] == a and r["rep"] == rep]
+            rb = [r for r in runs if r["cores"] == b and r["rep"] == rep]
+            if ra and rb:
+                per_rep.append(
+                    rb[0]["tokens_per_sec"] / ((b / a) * ra[0]["tokens_per_sec"])
+                )
+        if per_rep:
+            effs_paired[f"{a}v{b}"] = round(
+                sorted(per_rep)[(len(per_rep) - 1) // 2], 3
+            )
     summary = {
         "rows": args.rows,
         "levels": levels,
         "medians": med,
         "scaling_efficiency": effs,
+        "scaling_efficiency_paired": effs_paired,
         "hw_control_efficiency": ctl_effs,
-        "meets_0.8_bar": {k: v >= 0.8 for k, v in effs.items()},
+        "meets_0.8_bar": {k: v >= 0.8 for k, v in effs_paired.items()},
     }
     print(json.dumps(summary))
 

@@ -4,8 +4,9 @@
 # The shared sandbox's neighbor tenants flood the box within minutes of any
 # quiet window (BENCH.md runs D-K: hardware-control ceiling 0.41-0.70 under
 # load).  This loop waits for a REAL quiet window (1-min loadavg below the
-# gate), fires one SHORT scaling protocol (2M rows, levels 8,32, 3
-# interleaved reps -- ~5 min on cached data), archives the raw output under
+# gate), fires one SHORT scaling protocol (2M rows, levels 2,8,32, 2
+# interleaved reps -- matching the --levels/--reps flags below; ~5 min on
+# cached data), archives the raw output under
 # /tmp/scaling_runs/, and goes back to waiting.  A session-end pass picks the
 # run whose per-rep loadavgs stayed lowest and merges it into BENCH.md.
 #
