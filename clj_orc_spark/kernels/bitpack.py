@@ -350,10 +350,11 @@ class PatchedFor:
         res = narrow_residuals(arr, ref)
         one = res.dtype.type  # dtype-local scalars keep uint32 ops uint32
         full = bit_width(int(res.max()))
+        counts = None
         if width_hint is not None and width_hint <= full:
             w = width_hint  # selector-sampled choice; cost deviation is tiny
         else:
-            w, _, _ = cls._best_width(res, n)
+            w, _, counts = cls._best_width(res, n)
         mask = one((1 << w) - 1) if w else one(0)
         base = res & mask
         exc_mask = res > mask
@@ -378,7 +379,15 @@ class PatchedFor:
         # zero bytes, measured)
         if 0 < w and full - w < 63 and n_exc >= 4096:
             hi_full = full - w
-            hi_counts = _bitlen_hist(hi_vals, hi_full)
+            if counts is not None:
+                # bitlen(r >> w) == bitlen(r) - w for every exception value
+                # (their bit lengths exceed w), so the hi histogram is the
+                # width search's residual histogram shifted by w — the gate
+                # costs nothing instead of a second pass over the values
+                hi_counts = np.zeros(hi_full + 1, dtype=np.int64)
+                hi_counts[1:] = counts[w + 1: full + 1]
+            else:
+                hi_counts = _bitlen_hist(hi_vals, hi_full)
             _, est = cls.best_width_from_hist(hi_counts, n_exc, hi_full)
             flat_cost = packed_nbytes(n_exc, hi_full)
             if est < flat_cost * 0.95:

@@ -109,6 +109,10 @@ def read_stream(
     """Reference stream protocol: metadata, header, {"i", "rows"} chunks.
 
     Matches the element sequence asserted by `test/orc/read_test.clj:34-39`.
+
+    PARITY API, not for bulk data: rows funnel through the driver
+    (``toLocalIterator``) because the reference is a single-JVM channel
+    consumer by design — the engine's distributed path is pipeline.decode.
     """
     df = getattr(spark.read, fmt)(path)
     yield meta(df.schema) if meta else "Read Stream"  # read.clj:22-25,89
@@ -141,7 +145,12 @@ def json_stream(
     fmt: str = "orc",
 ) -> Iterator:
     """Reference JSON chunk protocol with the exact reassembly grammar
-    (`src/orc/json.clj:30-41,87-94`; asserted by `test/orc/json_test.clj:36-40`)."""
+    (`src/orc/json.clj:30-41,87-94`; asserted by `test/orc/json_test.clj:36-40`).
+
+    PARITY API, not for bulk data: rows funnel through the driver
+    (``toLocalIterator``), mirroring the reference's single-JVM byte-governed
+    stream — the engine's distributed analog is the encode chunk governor.
+    """
     df = getattr(spark.read, fmt)(path)
     yield meta(df.schema) if meta else "JSON Stream"  # json.clj:13-17,73
     names = df.schema.names
