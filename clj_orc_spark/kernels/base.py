@@ -174,6 +174,8 @@ def as_unsigned_residuals(arr: np.ndarray, ref: int) -> np.ndarray:
         a = arr
     else:
         a = arr.astype(np.int64, copy=False).view(np.uint64)
+    if ref == 0:
+        return a  # view, no copy — every caller treats residuals read-only
     return a - _ref_u64(ref)  # uint64 wraps mod 2**64
 
 
@@ -192,6 +194,8 @@ def narrow_residuals(arr: np.ndarray, ref: int) -> np.ndarray:
             a = arr
         else:
             a = arr.astype(np.int32, copy=False).view(np.uint32)
+        if ref == 0:
+            return a  # view, no copy — residuals are read-only downstream
         return a - np.uint32(int(ref) & 0xFFFFFFFF)
     return as_unsigned_residuals(arr, ref)
 

@@ -218,6 +218,24 @@ def _bitlen_hist(res: np.ndarray, full: int) -> np.ndarray:
     return np.bincount(bit_lengths(res), minlength=full + 1)
 
 
+def _fold_bitlen(value_counts: np.ndarray, full: int) -> np.ndarray:
+    """Bit-length histogram from an exact VALUE histogram (index = value):
+    fold the value counts through the bit-length LUT.  O(len(value_counts))
+    integer ops — identical to ``_bitlen_hist`` over the expanded values,
+    with no pass over the n values at all."""
+    hist = np.zeros(max(full, bit_width(max(len(value_counts) - 1, 0))) + 1,
+                    dtype=np.int64)
+    np.add.at(
+        hist, bit_lengths(np.arange(len(value_counts), dtype=np.uint64)),
+        value_counts,
+    )
+    # entries above ``full`` are zero by construction (full covers the max
+    # actual value); the assert catches an inconsistent caller histogram
+    # before it could silently change a width decision
+    assert int(hist[full + 1:].sum()) == 0, "value_counts exceed 2^full"
+    return hist[: full + 1]
+
+
 def packed_nbytes(n: int, width: int) -> int:
     if width in _FAST_WIDTH_DTYPE:
         return n * (width // 8)
@@ -340,7 +358,15 @@ class PatchedFor:
 
     @classmethod
     def encode(cls, arr: np.ndarray, width_hint: int | None = None,
-               base_recurse: bool = True) -> tuple[bytes, dict]:
+               base_recurse: bool = True,
+               value_counts: np.ndarray | None = None) -> tuple[bytes, dict]:
+        """``value_counts`` (optional) is the EXACT histogram of ``arr``'s
+        values (index = value; requires non-negative values): when a caller
+        already knows the value distribution — the dictionary path's
+        counts-by-rank, or a parent level's derived base/hi histograms —
+        every width search and recursion gate folds that card-sized
+        histogram instead of re-scanning the n values.  Decisions (and
+        payload bytes) are provably identical either way."""
         dtype = str(arr.dtype)
         n = len(arr)
         if n == 0:
@@ -350,9 +376,15 @@ class PatchedFor:
         res = narrow_residuals(arr, ref)
         one = res.dtype.type  # dtype-local scalars keep uint32 ops uint32
         full = bit_width(int(res.max()))
-        counts = None
+        vc = None
+        if value_counts is not None and ref >= 0:
+            # residual value x occurs vc[x] times (shift by the reference)
+            vc = value_counts[ref:] if ref else value_counts
+        counts = _fold_bitlen(vc, full) if vc is not None else None
         if width_hint is not None and width_hint <= full:
             w = width_hint  # selector-sampled choice; cost deviation is tiny
+        elif counts is not None:
+            w, _ = cls.best_width_from_hist(counts, n, full)
         else:
             w, _, counts = cls._best_width(res, n)
         mask = one((1 << w) - 1) if w else one(0)
@@ -391,11 +423,21 @@ class PatchedFor:
             _, est = cls.best_width_from_hist(hi_counts, n_exc, hi_full)
             flat_cost = packed_nbytes(n_exc, hi_full)
             if est < flat_cost * 0.95:
+                hi_vc = None
+                if vc is not None and hi_full <= 20:
+                    # value histogram of the hi stream: residual j > mask
+                    # contributes its count to value j >> w
+                    hi_vc = np.zeros(1 << hi_full, dtype=np.int64)
+                    np.add.at(
+                        hi_vc,
+                        np.arange(int(mask) + 1, len(vc), dtype=np.int64) >> w,
+                        vc[int(mask) + 1:],
+                    )
                 # native (often uint32) dtype — the int64 copy the old code
                 # paid here doubled the sub-encode's memory traffic for
                 # byte-identical payload output; only the recorded meta
                 # dtype string changes, which decode dispatches on anyway
-                hi_section, hi_meta = cls.encode(hi_vals)
+                hi_section, hi_meta = cls.encode(hi_vals, value_counts=hi_vc)
         if hi_section is None:
             hi_section = pack_bits(hi_vals, full - w)
         # recursive BASE encoding (round 4): the base stream flat-packs every
@@ -414,9 +456,21 @@ class PatchedFor:
         base_section = None
         base_meta = None
         if base_recurse and not speed_mode() and w > 1 and n >= 65536:
-            # base < 2^w: _bitlen_hist's value-bincount path (O(n + 2^w),
-            # int ops) beats a frexp bit-length pass over n floats
-            b_counts = _bitlen_hist(base, w)
+            b_vc = None
+            if vc is not None and w <= 20:
+                # value histogram of the base stream: value j contributes
+                # its count to j & mask — card-sized, no pass over base
+                b_vc = np.zeros(1 << w, dtype=np.int64)
+                np.add.at(
+                    b_vc,
+                    np.arange(len(vc), dtype=np.int64) & int(mask),
+                    vc,
+                )
+                b_counts = _fold_bitlen(b_vc, w)
+            else:
+                # base < 2^w: _bitlen_hist's value-bincount path (O(n+2^w),
+                # int ops) beats a frexp bit-length pass over n floats
+                b_counts = _bitlen_hist(base, w)
             b_w, b_est = cls.best_width_from_hist(b_counts, n, w)
             flat_cost = packed_nbytes(n, w)
             if b_est < flat_cost * 0.95:
@@ -425,6 +479,7 @@ class PatchedFor:
                 # encode runs the narrow fast paths with no int64 copy
                 cand, cand_meta = cls.encode(
                     base, width_hint=b_w, base_recurse=False,
+                    value_counts=b_vc,
                 )
                 if len(cand) < flat_cost:
                     base_section, base_meta = cand, cand_meta

@@ -25,12 +25,17 @@ from .rle import Rle, _decode_int_sub, run_starts
 
 
 def _encode_codes(codes: np.ndarray,
-                  width_hint: int | None = None) -> tuple[bytes, dict]:
+                  width_hint: int | None = None,
+                  value_counts: np.ndarray | None = None) -> tuple[bytes, dict]:
     """Codes are [0, card): PatchedFor (whose width search includes the flat
     FOR layout as a candidate) vs RLE — RLE is only attempted when a cheap
     SAMPLED run count says it can win, because on run-free code streams
-    building the run arrays costs a full pass for zero benefit."""
-    best = PatchedFor.encode(codes, width_hint=width_hint)
+    building the run arrays costs a full pass for zero benefit.
+    ``value_counts`` (code j occurs value_counts[j] times — the ranked
+    counts, exact) lets every patched-FOR width search and recursion gate
+    fold a card-sized histogram instead of re-scanning the codes."""
+    best = PatchedFor.encode(codes, width_hint=width_hint,
+                             value_counts=value_counts)
     # 8 evenly-spaced probe segments: run structure that only starts after
     # a high-churn prefix must still qualify RLE (a head-only probe would
     # permanently disqualify it, and a head-weighted one misprices
@@ -150,7 +155,8 @@ class DictInt:
             codes.astype(np.int32, copy=False)
             if len(ranked) <= 1 << 31 else codes,
             width_hint=w,
-        )
+            value_counts=counts,  # exact code distribution — rank j occurs
+        )  # counts[j] times; gates fold this instead of scanning codes
         payload, sections = pack_sections(up, cp)
         return payload, {"codec": cls.name, "n": n, "dtype": dtype,
                          "sections": sections, "uniques": um, "codes": cm}
@@ -211,7 +217,8 @@ class DictStr:
         up, um = PlainStr.encode(StringCol.from_list(list(uniques)))
         cp, cm = _encode_codes(codes.astype(np.int32, copy=False)
                                if len(uniques) <= 1 << 31
-                               else codes.astype(np.int64))
+                               else codes.astype(np.int64),
+                               value_counts=counts[order])
         payload, sections = pack_sections(up, cp)
         return payload, {"codec": cls.name, "n": n, "sections": sections,
                          "uniques": um, "codes": cm}

@@ -305,3 +305,26 @@ def test_patched_for_hi_recursion_native_dtype_roundtrip():
     _as_legacy(legacy["hi"])
     out2 = PatchedFor.decode(payload, legacy)
     assert np.array_equal(out2, vals)
+
+
+def test_patched_for_value_counts_identical_payload():
+    """PatchedFor with an exact value histogram (the dict path's
+    counts-by-rank plumb-through) must produce byte-identical payload and
+    meta to the self-scanning formulation, across shapes that exercise
+    the hi/base recursions and the ref-shift."""
+    from clj_orc_spark.kernels.bitpack import PatchedFor
+
+    shapes = {
+        "zipfish": (RNG.zipf(1.2, 200_000).clip(0, 4000)).astype(np.int32),
+        "offset": (RNG.zipf(1.3, 150_000).clip(0, 2000) + 37).astype(np.int32),
+        "uniformish": RNG.integers(0, 300, 150_000, dtype=np.int32),
+        "tiny_card": RNG.integers(0, 4, 100_000, dtype=np.int32),
+    }
+    for name, arr in shapes.items():
+        vc = np.bincount(arr).astype(np.int64)
+        p_plain, m_plain = PatchedFor.encode(arr)
+        p_vc, m_vc = PatchedFor.encode(arr, value_counts=vc)
+        assert p_vc == p_plain, name
+        assert m_vc == m_plain, name
+        out = PatchedFor.decode(p_vc, m_vc)
+        assert np.array_equal(out, arr), name
