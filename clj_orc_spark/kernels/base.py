@@ -207,14 +207,17 @@ def from_unsigned_residuals(res: np.ndarray, ref: int, dtype: str) -> np.ndarray
     reference mod 2**32 — exact because a ≤32-bit column's values equal
     their value mod 2**32 under the target dtype's view."""
     if res.dtype == np.uint32:
-        base32 = res + np.uint32(int(ref) & 0xFFFFFFFF)  # wraps mod 2**32
+        r32 = int(ref) & 0xFFFFFFFF
+        # zero reference: no addition pass — the residuals ARE the values
+        # (a view; decode outputs are freshly allocated per call)
+        base32 = res if r32 == 0 else res + np.uint32(r32)  # wraps mod 2**32
         if dtype == "uint32":
             return base32
         if dtype == "int32":
             return base32.view(np.int32)
         res = base32.astype(np.uint64)  # non-32-bit dtype: widen, ref done
         ref = 0
-    base = res + _ref_u64(ref)  # wraps mod 2**64
+    base = res if int(ref) & 0xFFFFFFFFFFFFFFFF == 0 else res + _ref_u64(ref)
     np_dtype = INT_DTYPES[dtype]
     if dtype == "bool":
         return base.view(np.int64).astype(np.bool_)
