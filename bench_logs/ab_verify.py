@@ -1,0 +1,28 @@
+import sys, os, time, shutil
+sys.path.insert(0, "/root/repo")
+from clj_orc_spark.session import get_spark
+from clj_orc_spark.pipeline import decode, encode, verify_digest
+from pyspark.sql import functions as F
+spark = get_spark(master="local[32]", app_name="ab-verify")
+spark.sparkContext.setLogLevel("ERROR")
+src = "/tmp/clj-orc-spark-bench-500000/tokens.parquet"
+out = "/dev/shm/ab-verify-store"
+if not os.path.isdir(out+"/manifest"):
+    shutil.rmtree(out, ignore_errors=True)
+    encode(spark, src, out, resume=False)
+
+def old_digest(df):
+    h = F.xxhash64("doc_id", "tokens", "n_tok", "source")
+    return df.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.expr("bit_xor(h)").alias("hxor"),
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("hsum")).collect()[0]
+
+for rep in range(3):
+    t0=time.time()
+    v = verify_digest(spark.read.parquet(src), decode(spark, out))
+    t_new = time.time()-t0
+    t0=time.time()
+    s = old_digest(spark.read.parquet(src)); d = old_digest(decode(spark, out))
+    t_old = time.time()-t0
+    print(f"rep{rep}: union_digest {t_new:.2f}s  sequential {t_old:.2f}s  bit_identical={v['bit_identical']}", flush=True)
+spark.stop()
